@@ -1,0 +1,343 @@
+"""Skeleton-GCN backbones: STGCN (+STGCN++), AAGCN, CTRGCN, DGSTGCN (DG/DS-GCN).
+
+All share the 10-stage template of the reference (stgcn.py:100-128): channel
+inflation x2 and temporal stride 2 at stages 5 and 8, block = spatial GCN ->
+temporal conv (+ residual, ReLU).  Input ``(N, M, T, V, C)`` channels-last,
+output ``(N, M, T/4, V, C_out)``.
+
+Per-stage overrides follow the reference convention: any block-arg whose value
+is a tuple of length ``num_stages`` is split across stages (stgcn.py:101-104);
+``gcn_``/``tcn_`` prefixes route args to the spatial/temporal unit
+(dgstgcn.py:24-26).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from ..graph import Graph, GraphConfig
+from ..ops.common import Array, PointConv
+from ..ops.gcn import DGGCN, DGPHGCN1, UnitAAGCN, UnitCTRGCN, UnitGCN
+from ..ops.tcn import CTRMSTCN, DGMSTCN, MSTCN, UnitTCN
+
+EPS = 1e-4
+
+
+def split_stage_kwargs(kwargs: Mapping[str, Any], num_stages: int):
+    """Tuple-valued kwargs of length num_stages become per-stage values."""
+    lw = [dict(kwargs) for _ in range(num_stages)]
+    for k, v in kwargs.items():
+        if isinstance(v, tuple) and len(v) == num_stages:
+            for i in range(num_stages):
+                lw[i][k] = v[i]
+    return lw
+
+
+def route_prefix(kwargs: Mapping[str, Any]):
+    """Split block kwargs into (gcn_kwargs, tcn_kwargs); bare 'act'/'norm'/'g1x1'
+    go to both (dgstgcn.py:17-26)."""
+    kwargs = dict(kwargs)
+    for arg in ("act", "norm", "g1x1"):
+        if arg in kwargs:
+            v = kwargs.pop(arg)
+            kwargs.setdefault("gcn_" + arg, v)
+            kwargs.setdefault("tcn_" + arg, v)
+    gcn_kwargs = {k[4:]: v for k, v in kwargs.items() if k.startswith("gcn_")}
+    tcn_kwargs = {k[4:]: v for k, v in kwargs.items() if k.startswith("tcn_")}
+    rest = {k: v for k, v in kwargs.items()
+            if not (k.startswith("gcn_") or k.startswith("tcn_"))}
+    assert not rest, f"invalid block args: {rest}"
+    return gcn_kwargs, tcn_kwargs
+
+
+class DataBN(nn.Module):
+    """Input batchnorm over flattened joint-channel features per frame
+    (reference stgcn.py:93-98: BatchNorm1d('VC' or 'MVC'))."""
+    kind: Optional[str] = "VC"   # 'VC' | 'MVC' | None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        if self.kind is None:
+            return x
+        n, m, t, v, c = x.shape
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, name="bn")
+        if self.kind == "MVC":
+            y = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(n, t, m * v * c)
+            y = bn(y)
+            y = jnp.transpose(y.reshape(n, t, m, v, c), (0, 2, 1, 3, 4))
+        else:
+            y = x.reshape(n * m, t, v * c)
+            y = bn(y)
+            y = y.reshape(n, m, t, v, c)
+        return y
+
+
+def _make_tcn(tcn_type: str, out_channels: int, stride: int,
+              tcn_kwargs: Dict[str, Any], name: str = "tcn") -> nn.Module:
+    if tcn_type == "unit_tcn":
+        return UnitTCN(out_channels, kernel_size=9, stride=stride, name=name,
+                       **tcn_kwargs)
+    if tcn_type == "mstcn":
+        kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
+              for k, v in tcn_kwargs.items()}
+        return MSTCN(out_channels, stride=stride, name=name, **kw)
+    if tcn_type == "dgmstcn":
+        kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
+              for k, v in tcn_kwargs.items()}
+        return DGMSTCN(out_channels, stride=stride, name=name, **kw)
+    raise ValueError(f"unknown tcn type {tcn_type!r}")
+
+
+def tuple_ify(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+class ResidualTCN(nn.Module):
+    """Block residual path: identity, zero, or strided 1x1 unit_tcn."""
+    out_channels: int
+    stride: int
+    enabled: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array | float:
+        if not self.enabled:
+            return 0.0
+        if x.shape[-1] == self.out_channels and self.stride == 1:
+            return x
+        return UnitTCN(self.out_channels, kernel_size=1, stride=self.stride,
+                       name="down")(x, train=train)
+
+
+class STGCNBlock(nn.Module):
+    """unit_gcn + temporal conv + residual (reference STGCNBlock, stgcn.py:16-68)."""
+    out_channels: int
+    A: np.ndarray
+    stride: int = 1
+    residual: bool = True
+    gcn_kwargs: FrozenDict = FrozenDict()
+    tcn_type: str = "unit_tcn"
+    tcn_kwargs: FrozenDict = FrozenDict()
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          name="residual")(x, train=train)
+        y = UnitGCN(self.out_channels, A_init=self.A, name="gcn",
+                    **self.gcn_kwargs)(x, train=train)
+        y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
+                      dict(self.tcn_kwargs))(y, train=train)
+        return jax.nn.relu(y + res)
+
+
+class AAGCNBlock(nn.Module):
+    """unit_aagcn + temporal conv (reference aagcn.py:12-55)."""
+    out_channels: int
+    A: np.ndarray
+    stride: int = 1
+    residual: bool = True
+    gcn_kwargs: FrozenDict = FrozenDict()
+    tcn_type: str = "unit_tcn"
+    tcn_kwargs: FrozenDict = FrozenDict()
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          name="residual")(x, train=train)
+        y = UnitAAGCN(self.out_channels, A_init=self.A, name="gcn",
+                      **self.gcn_kwargs)(x, train=train)
+        y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
+                      dict(self.tcn_kwargs))(y, train=train)
+        return jax.nn.relu(y + res)
+
+
+class CTRGCNBlock(nn.Module):
+    """unit_ctrgcn + CTR multi-scale TCN (reference ctrgcn.py:9-61)."""
+    in_channels: int
+    out_channels: int
+    A: np.ndarray
+    stride: int = 1
+    residual: bool = True
+    kernel_size: int = 5
+    dilations: Tuple[int, ...] = (1, 2)
+    tcn_dropout: float = 0.0
+    gcn_kwargs: FrozenDict = FrozenDict()
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          name="residual")(x, train=train)
+        y = UnitCTRGCN(self.in_channels, self.out_channels, A_init=self.A,
+                       name="gcn", **self.gcn_kwargs)(x, train=train)
+        y = CTRMSTCN(self.out_channels, kernel_size=self.kernel_size,
+                     stride=self.stride, dilations=self.dilations,
+                     residual=False, tcn_dropout=self.tcn_dropout,
+                     name="tcn")(y, train=train)
+        return jax.nn.relu(y + res)
+
+
+class DGBlock(nn.Module):
+    """{dggcn | dgphgcn1} + {unit_tcn | mstcn | dgmstcn} (reference dgstgcn.py:12-65)."""
+    out_channels: int
+    A: np.ndarray
+    edge_type: Optional[np.ndarray]
+    node_type: Optional[np.ndarray]
+    stride: int = 1
+    residual: bool = True
+    gcn_type: str = "dggcn"
+    gcn_kwargs: FrozenDict = FrozenDict()
+    tcn_type: str = "dgmstcn"
+    tcn_kwargs: FrozenDict = FrozenDict()
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          name="residual")(x, train=train)
+        if self.gcn_type == "dggcn":
+            y = DGGCN(self.out_channels, A_init=self.A, name="gcn",
+                      **self.gcn_kwargs)(x, train=train)
+        elif self.gcn_type == "dgphgcn1":
+            y = DGPHGCN1(self.out_channels, A_init=self.A,
+                         edge_type=self.edge_type, node_type=self.node_type,
+                         name="gcn", **self.gcn_kwargs)(x, train=train)
+        else:
+            raise ValueError(f"unknown gcn type {self.gcn_type!r}")
+        y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
+                      dict(self.tcn_kwargs))(y, train=train)
+        return jax.nn.relu(y + res)
+
+
+def stage_plan(in_channels: int, base_channels: int, ch_ratio: float,
+               num_stages: int, inflate_stages, down_stages):
+    """Yields (in_c, out_c, stride, residual) per stage (reference stgcn.py:113-128).
+
+    When in_channels == base_channels the first (non-residual) stem stage is
+    dropped, leaving num_stages - 1 blocks.
+    """
+    plan = []
+    if in_channels != base_channels:
+        plan.append((in_channels, base_channels, 1, False))
+    cur = base_channels
+    inflate = 0
+    for i in range(2, num_stages + 1):
+        stride = 1 + (i in down_stages)
+        if i in inflate_stages:
+            inflate += 1
+        out = int(base_channels * ch_ratio ** inflate + EPS)
+        plan.append((cur, out, stride, True))
+        cur = out
+    return plan
+
+
+class _BackboneBase(nn.Module):
+    """Shared stage loop; subclasses provide make_block(i, in_c, out_c, stride, res, kwargs)."""
+    graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="spatial")
+    in_channels: int = 3
+    base_channels: int = 64
+    ch_ratio: float = 2
+    num_person: int = 2
+    num_stages: int = 10
+    inflate_stages: Tuple[int, ...] = (5, 8)
+    down_stages: Tuple[int, ...] = (5, 8)
+    data_bn_type: Optional[str] = "VC"
+    block_args: FrozenDict = FrozenDict()
+
+    def _graph(self) -> Graph:
+        return Graph.from_config(self.graph_cfg)
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        n, m, t, v, c = x.shape
+        graph = self._graph()
+        A = graph.A.astype(np.float32)
+        x = DataBN(self.data_bn_type, name="data_bn")(x, train=train)
+        x = x.reshape(n * m, t, v, c)
+
+        lw = split_stage_kwargs(self.block_args, self.num_stages)
+        lw[0].pop("tcn_dropout", None)
+        lw[0].pop("g1x1", None)
+        lw[0].pop("gcn_g1x1", None)
+        plan = stage_plan(self.in_channels, self.base_channels, self.ch_ratio,
+                          self.num_stages, self.inflate_stages, self.down_stages)
+        offset = self.num_stages - len(plan)  # 0 or 1 (stem dropped)
+        for i, (in_c, out_c, stride, residual) in enumerate(plan):
+            blk = self.make_block(i, graph, A, in_c, out_c, stride, residual,
+                                  lw[i + offset])
+            x = blk(x, train=train)
+        return x.reshape((n, m) + x.shape[1:])
+
+    def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        raise NotImplementedError
+
+
+class STGCN(_BackboneBase):
+    """ST-GCN and STGCN++ (reference stgcn.py:71-153).
+
+    STGCN++ = block_args dict(gcn_adaptive='init', gcn_with_res=True,
+    tcn_type='mstcn') per configs/stgcn++/STGCN++_model.py.
+    """
+
+    def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
+        tcn_type = tcn_kwargs.pop("type", "unit_tcn")
+        return STGCNBlock(out_c, A=A, stride=stride, residual=residual,
+                          gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
+                          tcn_kwargs=FrozenDict(tcn_kwargs), name=f"block{i}")
+
+
+class AAGCN(_BackboneBase):
+    """2s-AGCN backbone (reference aagcn.py:57-142); data_bn_type defaults MVC."""
+    data_bn_type: Optional[str] = "MVC"
+
+    def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
+        tcn_type = tcn_kwargs.pop("type", "unit_tcn")
+        return AAGCNBlock(out_c, A=A, stride=stride, residual=residual,
+                          gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
+                          tcn_kwargs=FrozenDict(tcn_kwargs), name=f"block{i}")
+
+
+class CTRGCN(_BackboneBase):
+    """CTR-GCN backbone (reference ctrgcn.py:69-123); data_bn MVC, CTR-MSTCN."""
+    data_bn_type: Optional[str] = "MVC"
+
+    def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        gcn_kwargs, tcn_kwargs = route_prefix(dict(kwargs))
+        tcn_kwargs.pop("type", None)
+        extra = {k: tuple_ify(v) for k, v in tcn_kwargs.items()}
+        return CTRGCNBlock(in_c, out_c, A=A, stride=stride, residual=residual,
+                           gcn_kwargs=FrozenDict(gcn_kwargs), name=f"block{i}",
+                           **extra)
+
+
+class DGSTGCN(_BackboneBase):
+    """DG-STGCN / DS-GCN backbone (reference dgstgcn.py:74-170).
+
+    DS-GCN = graph mode='random' (trained A), gcn_type='dgphgcn1' with semantic
+    attentions, tcn_type='dgmstcn' (configs/dsstgcn/DSSTGCN_model.py).
+    The per-stage 'gcn_stage' list toggles semantics on listed stages
+    (dgstgcn.py:115-120).
+    """
+    graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="random", seed=0)
+
+    def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        kwargs = dict(kwargs)
+        gcn_stage = kwargs.pop("gcn_stage", None)
+        gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
+        if gcn_stage is not None:
+            # stage index in reference counts blocks incl. stem as stage i
+            gcn_kwargs["stage"] = i in gcn_stage
+        gcn_type = gcn_kwargs.pop("type", "dggcn")
+        tcn_type = tcn_kwargs.pop("type", "dgmstcn")
+        et = graph.edge_type
+        nt = np.array(graph.node_type) if graph.node_type is not None else None
+        return DGBlock(out_c, A=A, edge_type=et, node_type=nt, stride=stride,
+                       residual=residual, gcn_type=gcn_type,
+                       gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
+                       tcn_kwargs=FrozenDict(tcn_kwargs), name=f"block{i}")

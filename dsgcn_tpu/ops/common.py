@@ -1,0 +1,175 @@
+"""Shared building blocks for the GCN/TCN op library.
+
+Layout convention (TPU-first): activations are channels-last ``(N, T, V, C)``
+— time and joints as spatial dims, channels on the 128-lane axis so every 1x1
+"conv" is a plain Dense matmul on the MXU and temporal convs run as NHWC convs.
+The PyTorch reference uses NCHW=(N, C, T, V) (pyskl/models/gcns/utils/gcn.py);
+all ops here are numerically equivalent after transposition.
+
+Initializers reproduce the reference init rules (gcns/utils/init_func.py:6-22
+and torch defaults) so training dynamics match.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def _fan_in_out(shape: Sequence[int]) -> Tuple[int, int]:
+    """Fan computation for Dense (I, O) or conv (kh, kw, I, O) kernels."""
+    if len(shape) == 2:
+        return shape[0], shape[1]
+    receptive = int(np.prod(shape[:-2]))
+    return shape[-2] * receptive, shape[-1] * receptive
+
+
+def kaiming_normal_fan_out() -> Callable:
+    """conv_init: kaiming normal, mode=fan_out (reference init_func.py:15-17)."""
+    def init(key, shape, dtype=jnp.float32):
+        _, fan_out = _fan_in_out(shape)
+        std = math.sqrt(2.0 / fan_out)
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+def branch_init(branches: int) -> Callable:
+    """conv_branch_init: normal(0, sqrt(2/(n*k1*k2*branches))) where n=out_ch,
+    k1=in_ch, k2=kernel (reference init_func.py:6-12, torch weight (O, I, kh, kw)
+    uses sizes 0,1,2)."""
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 2:  # Dense (I, O): n=O, k1=I, k2=1
+            n, k1, k2 = shape[1], shape[0], 1
+        else:  # conv (kh, kw, I, O): n=O, k1=I, k2=kh
+            n, k1, k2 = shape[-1], shape[-2], shape[0]
+        std = math.sqrt(2.0 / (n * k1 * k2 * branches))
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+def torch_default_kernel() -> Callable:
+    """torch nn.Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, _ = _fan_in_out(shape)
+        bound = math.sqrt(1.0 / fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def torch_default_bias(fan_in: int) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def zeros_init():
+    return nn.initializers.zeros_init()
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+class PointConv(nn.Module):
+    """1x1 conv == Dense over the trailing channel axis (runs on the MXU).
+
+    Equivalent to the reference's ``nn.Conv2d(in, out, 1)``; kernel shape (I, O).
+    """
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        kinit = self.kernel_init or torch_default_kernel()
+        binit = self.bias_init or torch_default_bias(in_features)
+        kernel = self.param("kernel", kinit, (in_features, self.features))
+        y = jnp.einsum("...i,io->...o", x, kernel,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", binit, (self.features,))
+            y = y + bias
+        return y
+
+
+class TemporalConv(nn.Module):
+    """k x 1 temporal convolution over (T, V) spatial dims, channels-last.
+
+    Matches reference ``nn.Conv2d(..., kernel_size=(k, 1), stride=(s, 1),
+    dilation=(d, 1), padding=(pad, 0))`` with pad = (k + (k-1)(d-1) - 1) // 2
+    (tcn.py:19-27).
+    """
+    features: int
+    kernel_size: int = 9
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k, d = self.kernel_size, self.dilation
+        pad = (k + (k - 1) * (d - 1) - 1) // 2
+        in_features = x.shape[-1]
+        kinit = self.kernel_init or torch_default_kernel()
+        binit = self.bias_init or torch_default_bias(in_features * k)
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(k, 1),
+            strides=(self.stride, 1),
+            kernel_dilation=(d, 1),
+            padding=((pad, pad), (0, 0)),
+            use_bias=self.use_bias,
+            kernel_init=kinit,
+            bias_init=binit,
+            name="conv",
+        )(x)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over all leading axes, per-channel (== torch BatchNorm2d on NCTV).
+
+    torch defaults: eps=1e-5, momentum=0.1 (i.e. running = 0.9*running + 0.1*new).
+    """
+    use_running_average: Optional[bool] = None
+    scale_init: Callable = nn.initializers.ones_init()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
+        ura = nn.merge_param("use_running_average", self.use_running_average,
+                             use_running_average)
+        return nn.BatchNorm(
+            use_running_average=ura, momentum=0.9, epsilon=1e-5,
+            scale_init=self.scale_init, bias_init=self.bias_init, name="bn")(x)
+
+
+def bn_scale_init(scale: float) -> Callable:
+    """bn_init(bn, scale): constant-scale BN weight (reference init_func.py:20-22).
+
+    scale=1e-6 on a block's final BN makes each block start near-identity."""
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, scale, dtype)
+    return init
+
+
+def max_pool_t(x: Array, window: int, stride: int, padding: int) -> Array:
+    """Temporal max-pool (window,1)/(stride,1) with -inf padding, as torch MaxPool2d."""
+    return nn.max_pool(
+        x, window_shape=(window, 1), strides=(stride, 1),
+        padding=((padding, padding), (0, 0)))

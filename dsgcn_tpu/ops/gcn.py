@@ -1,0 +1,556 @@
+"""Spatial graph-convolution ops (channels-last, MXU-friendly).
+
+Each op is the TPU-native re-design of a reference unit (file:line cites into
+/root/reference/pyskl/models/gcns/utils/gcn.py).  Activations are
+``(N, T, V, C)``; the reference uses ``(N, C, T, V)`` — all einsums below are
+the transposed equivalents, verified elementwise by tests/test_ops_parity.py
+against the actual reference modules with copied weights.
+
+Key reformulations for XLA/TPU:
+  * 1x1 convs -> Dense matmuls over the trailing C axis (MXU).
+  * ``torch.diagonal`` type-gathers -> static per-joint ``take`` on the
+    type axis (types are compile-time constants, so XLA folds the gather).
+  * ``index_select`` over the 15·V·V expanded edge tensor -> a static
+    ``take_along_axis`` with the precomputed (V, V) edge-class matrix.
+  * All graph contractions are dense batched matmuls over the (N·T) batch.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .common import (Array, BatchNorm, PointConv, TemporalConv, bn_scale_init,
+                     branch_init, kaiming_normal_fan_out, torch_default_bias,
+                     torch_default_kernel)
+
+ACTS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    # reference nn.Softmax(-2): softmax over the source-joint (row) axis of the
+    # (..., u, v) graph (gcn.py:1498)
+    "softmax": lambda x: jax.nn.softmax(x, axis=-2),
+}
+
+
+def _type_gather(x: Array, node_type: np.ndarray, type_axis: int) -> Array:
+    """out[..., v] = x[..., node_type[v], ..., v]: per-joint gather on the type axis.
+
+    Equivalent to the reference ``torch.diagonal(x[:, :, node_type, ...], dim1, dim2)``
+    trick (gcn.py:729-730, 2232, 2258).  ``x`` has a trailing joint axis V and a
+    ``type_axis`` of size num_types; the result drops the type axis.
+    """
+    V = x.shape[-1]
+    nt = jnp.asarray(node_type, jnp.int32)
+    # move type axis next to last, then take per joint
+    x = jnp.moveaxis(x, type_axis, -2)          # (..., P, V)
+    idx = jnp.broadcast_to(nt[None, :], (1, V))  # (1, V)
+    idx = jnp.broadcast_to(nt, x.shape[:-2] + (1, V))
+    return jnp.take_along_axis(x, idx, axis=-2)[..., 0, :]
+
+
+def _edge_class_select(x: Array, edge_type: np.ndarray) -> Array:
+    """out[..., u, w] = x[..., class(u, w), u, w].
+
+    ``x``: (..., E, V, V) per-edge-class maps; ``edge_type``: static (V, V) int
+    class matrix.  Replaces the reference's runtime ``index_select`` over the
+    flattened 15·V·V tensor (gcn.py:2281-2287) with a static gather.
+    """
+    E = x.shape[-3]
+    et = jnp.asarray(edge_type, jnp.int32)      # (V, V)
+    idx = jnp.broadcast_to(et, x.shape[:-3] + et.shape)[..., None, :, :]
+    return jnp.take_along_axis(x, idx, axis=-3)[..., 0, :, :]
+
+
+class UnitGCN(nn.Module):
+    """ST-GCN / STGCN++ spatial conv (reference unit_gcn, gcn.py:22-97).
+
+    x: (N, T, V, C_in) -> (N, T, V, C_out).
+    """
+    out_channels: int
+    A_init: np.ndarray                      # (K, V, V)
+    adaptive: Optional[str] = "init"        # None | init | offset | importance
+    conv_pos: str = "pre"
+    with_res: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        assert self.adaptive in (None, "init", "offset", "importance")
+        assert self.conv_pos in ("pre", "post")
+        K, V, _ = self.A_init.shape
+        n, t, v, c = x.shape
+
+        res = 0.0
+        if self.with_res:
+            if c != self.out_channels:
+                r = PointConv(self.out_channels, name="down_conv")(x)
+                res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+            else:
+                res = x
+
+        if self.adaptive == "init":
+            A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        else:
+            A = jnp.asarray(self.A_init, jnp.float32)
+            if self.adaptive == "offset":
+                PA = self.param("PA", nn.initializers.uniform(2e-6), (K, V, V))
+                A = A + (PA - 1e-6)  # uniform(0, 2e-6) shifted to U(-1e-6, 1e-6)
+            elif self.adaptive == "importance":
+                PA = self.param("PA", nn.initializers.ones_init(), (K, V, V))
+                A = A * PA
+
+        if self.conv_pos == "pre":
+            y = PointConv(self.out_channels * K, name="conv")(x)
+            y = y.reshape(n, t, v, K, self.out_channels)
+            # reference: einsum('nkctv,kvw->nctw') (gcn.py:88)
+            y = jnp.einsum("ntvkc,kvw->ntwc", y, A,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            # reference: einsum('nctv,kvw->nkctw') then 1x1 over K*C (gcn.py:90-92)
+            y = jnp.einsum("ntvc,kvw->ntwkc", x, A,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            y = y.reshape(n, t, v, K * c)
+            y = PointConv(self.out_channels, name="conv")(y)
+
+        y = BatchNorm(name="bn")(y, use_running_average=not train)
+        return jax.nn.relu(y + res)
+
+
+class AttentionChain(nn.Module):
+    """Spatial -> temporal -> channel SE-attention used by AAGCN (gcn.py:445-458)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, y: Array) -> Array:
+        n, t, v, c = y.shape
+        # spatial attention: mean over T -> (N, V, C) -> conv over V -> (N, V, 1)
+        ker_joint = v if v % 2 else v - 1
+        pad = (ker_joint - 1) // 2
+        se = y.mean(axis=1)
+        se1 = nn.Conv(1, kernel_size=(ker_joint,), padding=((pad, pad),),
+                      kernel_init=nn.initializers.xavier_normal(),
+                      bias_init=nn.initializers.zeros_init(), name="conv_sa")(se)
+        y = y * jax.nn.sigmoid(se1)[:, None, :, :] + y
+        # temporal attention: mean over V -> (N, T, C) -> conv over T (k=9, pad=4)
+        se = y.mean(axis=2)
+        se1 = nn.Conv(1, kernel_size=(9,), padding=((4, 4),),
+                      kernel_init=nn.initializers.zeros_init(),
+                      bias_init=nn.initializers.zeros_init(), name="conv_ta")(se)
+        y = y * jax.nn.sigmoid(se1)[:, :, None, :] + y
+        # channel attention: global mean -> (N, C) -> bottleneck MLP
+        se = y.mean(axis=(1, 2))
+        se1 = jax.nn.relu(nn.Dense(
+            c // 2, kernel_init=nn.initializers.kaiming_normal(),
+            bias_init=nn.initializers.zeros_init(), name="fc1c")(se))
+        se2 = jax.nn.sigmoid(nn.Dense(
+            c, kernel_init=nn.initializers.zeros_init(),
+            bias_init=nn.initializers.zeros_init(), name="fc2c")(se1))
+        return y * se2[:, None, None, :] + y
+
+
+class UnitAAGCN(nn.Module):
+    """2s-AGCN adaptive unit (reference unit_aagcn, gcn.py:349-461)."""
+    out_channels: int
+    A_init: np.ndarray
+    coff_embedding: int = 4
+    adaptive: bool = True
+    attention: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        K, V, _ = self.A_init.shape
+        n, t, v, c = x.shape
+        inter_c = self.out_channels // self.coff_embedding
+
+        y = None
+        if self.adaptive:
+            A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+            alpha = self.param("alpha", nn.initializers.zeros_init(), (1,))
+            for i in range(K):
+                a = PointConv(inter_c, name=f"conv_a{i}",
+                              kernel_init=kaiming_normal_fan_out(),
+                              bias_init=nn.initializers.zeros_init())(x)   # (N,T,V,R)
+                b = PointConv(inter_c, name=f"conv_b{i}",
+                              kernel_init=kaiming_normal_fan_out(),
+                              bias_init=nn.initializers.zeros_init())(x)
+                # reference gcn.py:429-431: tanh(A1 @ A2 / (R*T))
+                g = jnp.tanh(jnp.einsum("ntvc,ntwc->nvw", a, b,
+                                        preferred_element_type=jnp.float32)
+                             / (inter_c * t)).astype(x.dtype)
+                Ai = A[i] + g * alpha[0]
+                z = jnp.einsum("ntvc,nvw->ntwc", x, Ai,
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                z = PointConv(self.out_channels, name=f"conv_d{i}",
+                              kernel_init=branch_init(K))(z)
+                y = z if y is None else y + z
+        else:
+            A = jnp.asarray(self.A_init, jnp.float32)
+            for i in range(K):
+                z = jnp.einsum("ntvc,vw->ntwc", x, A[i],
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                z = PointConv(self.out_channels, name=f"conv_d{i}",
+                              kernel_init=branch_init(K))(z)
+                y = z if y is None else y + z
+
+        if c != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv",
+                          kernel_init=kaiming_normal_fan_out())(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+        y = BatchNorm(name="bn", scale_init=bn_scale_init(1e-6))(
+            y, use_running_average=not train)
+        y = jax.nn.relu(y + res)
+
+        if self.attention:
+            y = AttentionChain(self.out_channels, name="att")(y)
+        return y
+
+
+class CTRGC(nn.Module):
+    """Channel-wise topology refinement unit (reference CTRGC, gcn.py:634-659)."""
+    in_channels: int
+    out_channels: int
+    rel_reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array, A: Optional[Array], alpha: Array) -> Array:
+        rel = 8 if self.in_channels <= 16 else self.in_channels // self.rel_reduction
+        ki = kaiming_normal_fan_out()
+        zb = nn.initializers.zeros_init()
+        x1 = PointConv(rel, name="conv1", kernel_init=ki, bias_init=zb)(x).mean(axis=1)  # (N,V,R)
+        x2 = PointConv(rel, name="conv2", kernel_init=ki, bias_init=zb)(x).mean(axis=1)
+        x3 = PointConv(self.out_channels, name="conv3", kernel_init=ki, bias_init=zb)(x)
+        # (N, U, W, R): pairwise channel-difference topology (gcn.py:655)
+        diff = jnp.tanh(x1[:, :, None, :] - x2[:, None, :, :])
+        g = PointConv(self.out_channels, name="conv4", kernel_init=ki, bias_init=zb)(diff)
+        g = g * alpha + (A[None, :, :, None] if A is not None else 0.0)
+        # reference einsum('ncuv,nctu->nctv') (gcn.py:658)
+        return jnp.einsum("nuwc,ntuc->ntwc", g, x3,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class UnitCTRGCN(nn.Module):
+    """K-subset CTR-GC wrapper (reference unit_ctrgcn, gcn.py:882-929)."""
+    in_channels: int
+    out_channels: int
+    A_init: np.ndarray
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        K = self.A_init.shape[0]
+        A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (1,))
+        y = None
+        for i in range(K):
+            z = CTRGC(self.in_channels, self.out_channels, name=f"convs{i}")(
+                x, A[i], alpha[0])
+            y = z if y is None else y + z
+        y = BatchNorm(name="bn", scale_init=bn_scale_init(1e-6))(
+            y, use_running_average=not train)
+        if self.in_channels != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv")(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+        return jax.nn.relu(y + res)
+
+
+class DGGCN(nn.Module):
+    """DG-STGCN dynamic-group GCN (reference dggcn, gcn.py:1445-1584).
+
+    CTR branch: channel-wise diff graph; ADA branch: frame/sample outer-product
+    graph; both added to the trained A with per-subset gates alpha/beta.
+    """
+    out_channels: int
+    A_init: np.ndarray
+    ratio: Optional[float] = 0.25
+    ctr: Optional[str] = "T"       # None | 'NA' | 'T'
+    ada: Optional[str] = "T"
+    subset_wise: bool = False
+    ada_act: str = "softmax"
+    ctr_act: str = "tanh"
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        K, V, _ = self.A_init.shape
+        n, t, v, c = x.shape
+        ratio = self.ratio if self.ratio is not None else 1.0 / K
+        mid = int(ratio * self.out_channels)
+
+        if c != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv")(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+
+        A_param = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        # graph accumulator in reference shape (N, K, Cq, Tq, V, V)
+        A6 = A_param[None, :, None, None]
+
+        pre = PointConv(mid * K, name="pre_conv")(x)
+        pre = BatchNorm(name="pre_bn")(pre, use_running_average=not train)
+        pre = jax.nn.relu(pre)
+        pre_x = pre.reshape(n, t, v, K, mid)
+
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (K,))
+
+        x1 = x2 = None
+        if self.ctr is not None or self.ada is not None:
+            tmp = x
+            if not (self.ctr == "NA" or self.ada == "NA"):
+                tmp = tmp.mean(axis=1, keepdims=True)     # (N, 1, V, C)
+            tq = tmp.shape[1]
+            x1 = PointConv(mid * K, name="conv1")(tmp).reshape(n, tq, v, K, mid)
+            x2 = PointConv(mid * K, name="conv2")(tmp).reshape(n, tq, v, K, mid)
+            # to reference layout (N, K, C, Tq, V)
+            x1 = jnp.transpose(x1, (0, 3, 4, 1, 2))
+            x2 = jnp.transpose(x2, (0, 3, 4, 1, 2))
+
+        if self.ctr is not None:
+            diff = x1[..., :, None] - x2[..., None, :]    # (N,K,C,Tq,V,V)
+            g = ACTS[self.ctr_act](diff)
+            g = g * (alpha[None, :, None, None, None, None] if self.subset_wise
+                     else alpha[0])
+            A6 = g + A6
+
+        if self.ada is not None:
+            # einsum('nkctv,nkctw->nktvw') (gcn.py:1551)
+            g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            g = g[:, :, None]                              # (N,K,1,Tq,V,V)
+            g = ACTS[self.ada_act](g)
+            g = g * (beta[None, :, None, None, None, None] if self.subset_wise
+                     else beta[0])
+            A6 = g + A6
+
+        y = _dispatch_contract(pre_x, A6, self.ctr, self.ada)
+        y = y.reshape(n, t, v, K * mid)
+        y = PointConv(self.out_channels, name="post_conv")(y)
+        y = BatchNorm(name="bn")(y, use_running_average=not train)
+        return jax.nn.relu(y + res)
+
+
+def _dispatch_contract(pre_x: Array, A6: Array, ctr, ada) -> Array:
+    """The reference 4-way einsum dispatch on graph dims (gcn.py:1560-1580).
+
+    pre_x: (N, T, V, K, C); A6: (N, K, Cq, Tq, V, V) with Cq in {1, C}, Tq in {1, T}.
+    Returns (N, T, W, K, C).
+    """
+    if ctr is None and ada is None:
+        A = A6[0, :, 0, 0]                                   # (K, V, V)
+        return jnp.einsum("ntvkc,kvw->ntwkc", pre_x, A,
+                          preferred_element_type=jnp.float32).astype(pre_x.dtype)
+    cq, tq = A6.shape[2], A6.shape[3]
+    if cq == 1 and tq == 1:
+        A = A6[:, :, 0, 0]                                   # (N, K, V, V)
+        out = jnp.einsum("ntvkc,nkvw->ntwkc", pre_x, A,
+                         preferred_element_type=jnp.float32)
+    elif cq == 1:
+        A = A6[:, :, 0]                                      # (N, K, T, V, V)
+        out = jnp.einsum("ntvkc,nktvw->ntwkc", pre_x, A,
+                         preferred_element_type=jnp.float32)
+    elif tq == 1:
+        A = A6[:, :, :, 0]                                   # (N, K, C, V, V)
+        out = jnp.einsum("ntvkc,nkcvw->ntwkc", pre_x, A,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("ntvkc,nkctvw->ntwkc", pre_x, A6,
+                         preferred_element_type=jnp.float32)
+    return out.astype(pre_x.dtype)
+
+
+class DGPHGCN1(nn.Module):
+    """The DS-GCN dynamic *semantic* spatial graph conv (reference dgphgcn1,
+    gcn.py:2074-2365) — the paper's core op.
+
+    Adds to DGGCN: subset decomposition into semantic/normal groups, per-node-
+    type Q/K projections, per-edge-class attention on the CTR diff graph, and
+    optional target-specific values / ada-graph edge attention.  All semantic
+    gathers are static (types are compile-time constants).
+
+    Faithfully reproduces reference quirks needed for parity: x2_sem is computed
+    with conv1_se (gcn.py:2253-2254) and concatenated into x2 as x1_sem
+    (gcn.py:2272); the edge-attention diff uses the *last normal* subset slice
+    [norm_num-sem : norm_num] (gcn.py:2279).
+    """
+    out_channels: int
+    A_init: np.ndarray
+    edge_type: np.ndarray            # (V, V) int classes
+    node_type: np.ndarray            # (V,) int part ids
+    ratio: Optional[float] = 0.125
+    decompose: bool = False
+    ctr: Optional[str] = "T"
+    ada: Optional[str] = "T"
+    node_attention: bool = False
+    edge_attention: bool = False
+    ada_attention: bool = False
+    target_specific: bool = False
+    add_type: bool = False
+    sub_att: bool = True
+    stage: bool = True
+    num_types: int = 5
+    edge_num: int = 15
+    subset_wise: bool = True
+    ada_act: str = "softmax"
+    ctr_act: str = "tanh"
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        node_attention, edge_attention = self.node_attention, self.edge_attention
+        target_specific, decompose = self.target_specific, self.decompose
+        subset_wise = self.subset_wise
+        if not self.stage:   # gcn.py:2122-2127
+            node_attention = edge_attention = target_specific = decompose = False
+            subset_wise = False
+
+        K, V, _ = self.A_init.shape
+        n, t, v, c = x.shape
+        ratio = self.ratio if self.ratio is not None else 1.0 / K
+        mid = int(ratio * self.out_channels)
+        P, E = self.num_types, self.edge_num
+
+        if decompose:
+            sem = math.ceil(K / 3)
+            norm = K - sem
+        else:
+            sem, norm = 0, K
+
+        if c != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv")(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+
+        A_param = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        A6 = A_param[None, :, None, None]
+
+        n_gates = K if self.sub_att else 3
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (n_gates,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (n_gates,))
+
+        # ---- values (pre_x) -------------------------------------------------
+        if target_specific and decompose:
+            # gcn.py:2228-2234: per-node-type value conv for the semantic subsets
+            xn = PointConv(sem * P * mid, name="nodeconv_conv")(x)
+            xn = BatchNorm(name="nodeconv_bn")(xn, use_running_average=not train)
+            xn = jax.nn.relu(xn)
+            xn = xn.reshape(n, t, v, sem, P, mid)
+            xn = jnp.moveaxis(xn, 2, -1)                      # (n,t,sem,P,mid,V)
+            xn = _type_gather(xn, self.node_type, type_axis=3)  # (n,t,sem,mid,V)
+            xn = jnp.moveaxis(xn, -1, 2)                      # (n,t,V,sem,mid)
+            xr = PointConv(norm * mid, name="pre_conv")(x)
+            xr = BatchNorm(name="pre_bn")(xr, use_running_average=not train)
+            xr = jax.nn.relu(xr).reshape(n, t, v, norm, mid)
+            pre_x = jnp.concatenate([xn, xr], axis=3)         # order: (sem?, norm) — gcn.py:2234
+        else:
+            p = PointConv(mid * K, name="pre_conv")(x)
+            p = BatchNorm(name="pre_bn")(p, use_running_average=not train)
+            pre_x = jax.nn.relu(p).reshape(n, t, v, K, mid)
+
+        # ---- queries/keys ---------------------------------------------------
+        x1 = x2 = None
+        if self.ctr is not None or self.ada is not None:
+            tmp = x
+            if not (self.ctr == "NA" or self.ada == "NA"):
+                tmp = tmp.mean(axis=1, keepdims=True)
+            tq = tmp.shape[1]
+            x1n = PointConv(norm * mid, name="conv1")(tmp).reshape(n, tq, v, norm, mid)
+            x2n = PointConv(norm * mid, name="conv2")(tmp).reshape(n, tq, v, norm, mid)
+            # -> reference layout (N, K', C, Tq, V)
+            x1n = jnp.transpose(x1n, (0, 3, 4, 1, 2))
+            x2n = jnp.transpose(x2n, (0, 3, 4, 1, 2))
+            if decompose:
+                conv1_se = PointConv(sem * mid * (P if node_attention else 1),
+                                     name="conv1_se")
+                # reference bug kept: x2_sem also uses conv1_se (gcn.py:2253-2254)
+                x1s = conv1_se(tmp)
+                x2s = x1s
+                if node_attention:
+                    x1s = x1s.reshape(n, tq, v, sem, mid, P)
+                    x1s = jnp.moveaxis(x1s, 2, -1)            # (n,tq,sem,mid,P,V)
+                    x1s = _type_gather(x1s, self.node_type, type_axis=4)  # (n,tq,sem,mid,V)
+                    x1s = jnp.transpose(x1s, (0, 2, 3, 1, 4))  # (n,sem,mid,tq,V)
+                    x2s = x1s
+                else:
+                    x1s = x1s.reshape(n, tq, v, sem, mid)
+                    x1s = jnp.transpose(x1s, (0, 3, 4, 1, 2))
+                    x2s = x1s
+                x1 = jnp.concatenate([x1n, x1s], axis=1)      # (N, K, mid, tq, V)
+                # reference concatenates x1_sem into x2 too (gcn.py:2272)
+                x2 = jnp.concatenate([x2n, x1s], axis=1)
+            else:
+                x1, x2 = x1n, x2n
+
+        # ---- CTR (diff) graph ----------------------------------------------
+        if self.ctr is not None:
+            if decompose:
+                if edge_attention:
+                    # slice [norm-sem : norm] per reference gcn.py:2279
+                    d = (x1[:, norm - sem:norm, ..., :, None]
+                         - x2[:, norm - sem:norm, ..., None, :])  # (n,sem,mid,tq,V,V)
+                    assert d.shape[3] == 1, "edge attention requires T-pooled graphs"
+                    d2 = d[:, :, :, 0]                        # (n,sem,mid,V,V)
+                    d2 = d2.reshape(n, sem * mid, V, V)
+                    d2 = jnp.moveaxis(d2, 1, -1)              # (n,V,V,sem*mid)
+                    es = PointConv(E * sem * mid, name="edge_linears")(d2)
+                    es = es.reshape(n, V, V, sem, E, mid)
+                    es = jnp.transpose(es, (0, 3, 5, 4, 1, 2))  # (n,sem,mid,E,V,V)
+                    ea = _edge_class_select(es, self.edge_type)  # (n,sem,mid,V,V)
+                    g_sem = ea[:, :, :, None]                  # (n,sem,mid,1,V,V)
+                else:
+                    g_sem = (x1[:, sem:norm, ..., :, None]
+                             - x2[:, sem:norm, ..., None, :])
+                g_norm = (x1[:, 0:norm - sem, ..., :, None]
+                          - x2[:, 0:norm - sem, ..., None, :])
+                g_node = (x1[:, norm:, ..., :, None]
+                          - x2[:, norm:, ..., None, :])
+                g = jnp.concatenate([g_norm, g_sem, g_node], axis=1)
+            else:
+                g = x1[..., :, None] - x2[..., None, :]
+            g = ACTS[self.ctr_act](g)
+            g = g * _gate(alpha, K, sem, norm, subset_wise)
+            A6 = g + A6
+
+        # ---- ADA (outer-product) graph -------------------------------------
+        if self.ada is not None:
+            g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            g = g[:, :, None]                                  # (N,K,1,Tq,V,V)
+            if self.ada_attention:
+                assert g.shape[3] == 1, "ada attention requires T-pooled graphs"
+                gs = g[:, :, 0, 0]                             # (N,K,V,V)
+                gs = jnp.moveaxis(gs, 1, -1)                   # (N,V,V,K)
+                gs = PointConv(E * K, name="ada_linears")(gs)
+                gs = gs.reshape(n, V, V, K, E)
+                gs = jnp.transpose(gs, (0, 3, 4, 1, 2))        # (N,K,E,V,V)
+                ga = _edge_class_select(gs, self.edge_type)    # (N,K,V,V)
+                g = ga[:, :, None, None]
+            g = ACTS[self.ada_act](g)
+            g = g * _gate(beta, K, sem, norm, subset_wise)
+            A6 = g + A6
+
+        y = _dispatch_contract(pre_x, A6, self.ctr, self.ada)
+        y = y.reshape(n, t, v, K * mid)
+        y = PointConv(self.out_channels, name="post_conv")(y)
+        y = BatchNorm(name="bn")(y, use_running_average=not train)
+        return jax.nn.relu(y + res)
+
+
+def _gate(gates: Array, K: int, sem: int, norm: int, subset_wise: bool) -> Array:
+    """Per-subset gate broadcast, incl. the repeat_interleave grouping for the
+    3-gate (sub_att=False) case (reference gcn.py:2302-2309)."""
+    if not subset_wise:
+        return gates[0]
+    if K == gates.shape[0]:
+        g = gates
+    else:
+        rep = math.ceil(K / 3)
+        g = jnp.repeat(gates, rep)[2 * sem - norm:]
+    return g[None, :, None, None, None, None]

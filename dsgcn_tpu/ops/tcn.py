@@ -1,0 +1,203 @@
+"""Temporal convolution ops (channels-last ``(N, T, V, C)``).
+
+TPU-native equivalents of the reference temporal units
+(/root/reference/pyskl/models/gcns/utils/tcn.py and msg3d_utils.py): the k x 1
+temporal convs run as NHWC convs on the MXU, multi-branch variants concatenate
+on the lane (channel) axis.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import (Array, BatchNorm, PointConv, TemporalConv,
+                     kaiming_normal_fan_out, max_pool_t)
+
+MsCfgEntry = Union[str, Tuple[Union[str, int], int]]
+DEFAULT_MS_CFG: Tuple[MsCfgEntry, ...] = ((3, 1), (3, 2), (3, 3), (3, 4), ("max", 3), "1x1")
+
+
+class UnitTCN(nn.Module):
+    """k x 1 temporal conv + BN + dropout (reference unit_tcn, tcn.py:10-37)."""
+    out_channels: int
+    kernel_size: int = 9
+    stride: int = 1
+    dilation: int = 1
+    norm: Optional[str] = "BN"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        y = TemporalConv(self.out_channels, self.kernel_size, self.stride,
+                         self.dilation, name="conv")(x)
+        if self.norm is not None:
+            y = BatchNorm(name="bn")(y, use_running_average=not train)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return y
+
+
+class _MSBranches(nn.Module):
+    """Shared multi-branch structure of mstcn/dgmstcn (reference tcn.py:134-153).
+
+    Branch i: 1x1 -> BN -> ReLU -> {k x 1 dilated conv | maxpool} , or a plain
+    strided 1x1.  Branch 0 gets the remainder channels.
+    """
+    out_channels: int
+    mid_channels: Optional[float] = None
+    ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        num_branches = len(self.ms_cfg)
+        if self.mid_channels is None:
+            mid = self.out_channels // num_branches
+            rem = self.out_channels - mid * (num_branches - 1)
+        else:
+            mid = int(self.out_channels * self.mid_channels)
+            rem = mid
+
+        outs: List[Array] = []
+        for i, cfg in enumerate(self.ms_cfg):
+            branch_c = rem if i == 0 else mid
+            if cfg == "1x1":
+                b = TemporalConv(branch_c, kernel_size=1, stride=self.stride,
+                                 name=f"branch{i}_conv")(x)
+                outs.append(b)
+                continue
+            kind, val = cfg
+            b = PointConv(branch_c, name=f"branch{i}_pre")(x)
+            b = BatchNorm(name=f"branch{i}_bn")(b, use_running_average=not train)
+            b = jax.nn.relu(b)
+            if kind == "max":
+                b = max_pool_t(b, window=val, stride=self.stride, padding=1)
+            else:
+                b = UnitTCN(branch_c, kernel_size=kind, stride=self.stride,
+                            dilation=val, norm=None, name=f"branch{i}_tcn")(
+                                b, train=train)
+            outs.append(b)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class MSTCN(nn.Module):
+    """STGCN++ multi-scale TCN (reference mstcn, tcn.py:104-180)."""
+    out_channels: int
+    mid_channels: Optional[float] = None
+    dropout: float = 0.0
+    ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        feat = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
+                           self.stride, name="branches")(x, train=train)
+        feat = BatchNorm(name="transform_bn")(feat, use_running_average=not train)
+        feat = jax.nn.relu(feat)
+        feat = PointConv(self.out_channels, name="transform_conv")(feat)
+        feat = BatchNorm(name="bn")(feat, use_running_average=not train)
+        if self.dropout > 0:
+            feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
+        return feat
+
+
+class DGMSTCN(nn.Module):
+    """DG-STGCN multi-scale TCN with a global joint-mean branch
+    (reference dgmstcn, tcn.py:344-431).
+
+    A V-mean pseudo-joint is appended before the branches; afterwards the global
+    node's features are broadcast back to every joint scaled by a learned
+    per-joint coefficient (tcn.py:407-423).
+    """
+    out_channels: int
+    mid_channels: Optional[float] = None
+    num_joints: int = 25
+    dropout: float = 0.0
+    ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        n, t, v, c = x.shape
+        add_coeff = self.param("add_coeff", nn.initializers.zeros_init(),
+                               (self.num_joints,))
+        # append global mean joint (tcn.py:409)
+        xg = jnp.concatenate([x, x.mean(axis=2, keepdims=True)], axis=2)
+        out = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
+                          self.stride, name="branches")(xg, train=train)
+        local_feat = out[:, :, :v]
+        global_feat = out[:, :, v]                       # (N, T', C')
+        feat = local_feat + global_feat[:, :, None, :] * add_coeff[:v][None, None, :, None]
+        feat = BatchNorm(name="transform_bn")(feat, use_running_average=not train)
+        feat = jax.nn.relu(feat)
+        feat = PointConv(self.out_channels, name="transform_conv")(feat)
+        feat = BatchNorm(name="bn")(feat, use_running_average=not train)
+        if self.dropout > 0:
+            feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
+        return feat
+
+
+class CTRMSTCN(nn.Module):
+    """CTR-GCN's multi-scale TCN (reference MSTCN, msg3d_utils.py:64-142).
+
+    Differs from :class:`MSTCN`: per-branch trailing BN, the *last* (1x1) branch
+    takes the remainder channels, and act comes after the residual add.
+    """
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: int = 1
+    dilations: Tuple[int, ...] = (1, 2, 3, 4)
+    residual: bool = True
+    tcn_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        in_c = x.shape[-1]
+        num_branches = len(self.dilations) + 2
+        branch_c = self.out_channels // num_branches
+        branch_rem = self.out_channels - branch_c * (num_branches - 1)
+        ks = self.kernel_size
+        kernel_sizes = list(ks) if isinstance(ks, (list, tuple)) else [ks] * len(self.dilations)
+
+        if not self.residual:
+            res = 0.0
+        elif in_c == self.out_channels and self.stride == 1:
+            res = x
+        else:
+            res = UnitTCN(self.out_channels, kernel_size=1, stride=self.stride,
+                          name="residual")(x, train=train)
+
+        outs: List[Array] = []
+        for i, (k, d) in enumerate(zip(kernel_sizes, self.dilations)):
+            b = PointConv(branch_c, name=f"branch{i}_pre",
+                          kernel_init=kaiming_normal_fan_out())(x)
+            b = BatchNorm(name=f"branch{i}_bn")(b, use_running_average=not train)
+            b = jax.nn.relu(b)
+            b = UnitTCN(branch_c, kernel_size=k, stride=self.stride, dilation=d,
+                        name=f"branch{i}_tcn")(b, train=train)
+            outs.append(b)
+        i = len(self.dilations)
+        b = PointConv(branch_c, name=f"branch{i}_pre",
+                      kernel_init=kaiming_normal_fan_out())(x)
+        b = BatchNorm(name=f"branch{i}_bn")(b, use_running_average=not train)
+        b = jax.nn.relu(b)
+        b = max_pool_t(b, window=3, stride=self.stride, padding=1)
+        b = BatchNorm(name=f"branch{i}_bn2")(b, use_running_average=not train)
+        outs.append(b)
+        i += 1
+        # strided 1x1 branch with remainder channels (msg3d_utils.py:114-117)
+        b = TemporalConv(branch_rem, kernel_size=1, stride=self.stride,
+                         name=f"branch{i}_conv",
+                         kernel_init=kaiming_normal_fan_out())(x)
+        b = BatchNorm(name=f"branch{i}_bn")(b, use_running_average=not train)
+        outs.append(b)
+
+        out = jnp.concatenate(outs, axis=-1)
+        out = out + res
+        out = jax.nn.relu(out)
+        if self.tcn_dropout > 0:
+            out = nn.Dropout(self.tcn_dropout, deterministic=not train)(out)
+        return out

@@ -26,7 +26,12 @@ def _ensure_stub_module(name, **attrs):
 
 
 def _install_stubs():
+    import torch
     import torch.nn as nn
+
+    # torch>=2 CPU convs may emit channels-last (mkldnn) outputs, breaking the
+    # reference's .view() calls that assume contiguous NCHW; disable for oracles.
+    torch.backends.mkldnn.enabled = False
 
     # junk IDE imports present in reference sources (gcn.py:1-9 etc.)
     _ensure_stub_module("tkinter", N="n", E="e", W="w", S="s")
@@ -59,7 +64,8 @@ def _install_stubs():
         raise NotImplementedError("stub")
 
     _ensure_stub_module("mmcv.runner", load_checkpoint=load_checkpoint)
-    _ensure_stub_module("mmcv.utils", Registry=object)
+    from torch.nn.modules.batchnorm import _BatchNorm
+    _ensure_stub_module("mmcv.utils", Registry=object, _BatchNorm=_BatchNorm)
     return mmcv
 
 
@@ -123,12 +129,20 @@ def load_ref_backbones():
                                   LOSSES=_Registry())
     builder.__package__ = "refpyskl.models"
     gcns_pkg = _ensure_pkg("refpyskl.models.gcns", f"{REF}/pyskl/models/gcns")
-    _ensure_pkg("refpyskl.models.gcns.utils", ops_pkg_path)
+    # import the REAL utils package __init__ so `from .utils import mstcn` works
+    importlib.import_module("refpyskl.models.gcns.utils")
 
     mods = {}
     for name in ("stgcn", "aagcn", "ctrgcn", "dgstgcn"):
         mods[name] = importlib.import_module(f"refpyskl.models.gcns.{name}")
     return mods
+
+
+def load_ref_msg3d():
+    """Import reference msg3d_utils (needs the 4-level package for its
+    `from ....utils.graph import ...`)."""
+    load_ref_backbones()
+    return importlib.import_module("refpyskl.models.gcns.utils.msg3d_utils")
 
 
 def load_ref_pipelines():
