@@ -267,8 +267,10 @@ class _BackboneBase(nn.Module):
                           self.num_stages, self.inflate_stages, self.down_stages)
         offset = self.num_stages - len(plan)  # 0 or 1 (stem dropped)
         for i, (in_c, out_c, stride, residual) in enumerate(plan):
+            kwargs = dict(lw[i + offset])
+            kwargs["_lw_index"] = i + offset
             blk = self.make_block(i, graph, A, in_c, out_c, stride, residual,
-                                  lw[i + offset])
+                                  kwargs)
             x = blk(x, train=train)
         return x.reshape((n, m) + x.shape[1:])
 
@@ -284,6 +286,7 @@ class STGCN(_BackboneBase):
     """
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        kwargs.pop("_lw_index", None)
         gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
         tcn_type = tcn_kwargs.pop("type", "unit_tcn")
         return STGCNBlock(out_c, A=A, stride=stride, residual=residual,
@@ -296,6 +299,7 @@ class AAGCN(_BackboneBase):
     data_bn_type: Optional[str] = "MVC"
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        kwargs.pop("_lw_index", None)
         gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
         tcn_type = tcn_kwargs.pop("type", "unit_tcn")
         return AAGCNBlock(out_c, A=A, stride=stride, residual=residual,
@@ -308,7 +312,9 @@ class CTRGCN(_BackboneBase):
     data_bn_type: Optional[str] = "MVC"
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        kwargs.pop("_lw_index", None)
         gcn_kwargs, tcn_kwargs = route_prefix(dict(kwargs))
+        gcn_kwargs.pop("type", None)
         tcn_kwargs.pop("type", None)
         extra = {k: tuple_ify(v) for k, v in tcn_kwargs.items()}
         return CTRGCNBlock(in_c, out_c, A=A, stride=stride, residual=residual,
@@ -328,11 +334,12 @@ class DGSTGCN(_BackboneBase):
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
         kwargs = dict(kwargs)
+        lw_index = kwargs.pop("_lw_index", i)
         gcn_stage = kwargs.pop("gcn_stage", None)
         gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
         if gcn_stage is not None:
-            # stage index in reference counts blocks incl. stem as stage i
-            gcn_kwargs["stage"] = i in gcn_stage
+            # reference checks the lw list index (dgstgcn.py:115-120)
+            gcn_kwargs["stage"] = lw_index in gcn_stage
         gcn_type = gcn_kwargs.pop("type", "dggcn")
         tcn_type = tcn_kwargs.pop("type", "dgmstcn")
         et = graph.edge_type

@@ -1,0 +1,116 @@
+"""Model factory: config dict -> RecognizerGCN module.
+
+Replaces the reference's mmcv Registry machinery (pyskl/models/builder.py:5-38)
+with a plain name->class map plus canonical presets for each model family,
+matching the in-tree reference configs cited below.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional
+
+from flax.core import FrozenDict
+
+from ..graph import GraphConfig
+from .backbones import AAGCN, CTRGCN, DGSTGCN, STGCN
+from .heads import GCNHead
+from .recognizer import RecognizerGCN
+
+BACKBONES = {
+    "STGCN": STGCN,
+    "AAGCN": AAGCN,
+    "CTRGCN": CTRGCN,
+    "DGSTGCN": DGSTGCN,
+}
+
+HEADS = {
+    "GCNHead": GCNHead,
+}
+
+_BACKBONE_FIELDS = {
+    "in_channels", "base_channels", "ch_ratio", "num_person", "num_stages",
+    "inflate_stages", "down_stages", "data_bn_type",
+}
+
+
+def build_backbone(cfg: Dict[str, Any]):
+    cfg = copy.deepcopy(dict(cfg))
+    typ = cfg.pop("type")
+    cls = BACKBONES[typ]
+    gc = cfg.pop("graph_cfg")
+    if not isinstance(gc, GraphConfig):
+        gc = GraphConfig(**gc)
+    fields = {k: v for k, v in cfg.items() if k in _BACKBONE_FIELDS}
+    for k in ("inflate_stages", "down_stages"):
+        if k in fields:
+            fields[k] = tuple(fields[k])
+    block_args = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in cfg.items() if k not in _BACKBONE_FIELDS}
+    return cls(graph_cfg=gc, block_args=FrozenDict(block_args), **fields)
+
+
+def build_head(cfg: Dict[str, Any]):
+    cfg = copy.deepcopy(dict(cfg))
+    typ = cfg.pop("type")
+    return HEADS[typ](**cfg)
+
+
+def build_model(cfg: Dict[str, Any]) -> RecognizerGCN:
+    cfg = copy.deepcopy(dict(cfg))
+    assert cfg.pop("type", "RecognizerGCN") == "RecognizerGCN"
+    backbone = build_backbone(cfg["backbone"])
+    head = build_head(cfg["cls_head"])
+    return RecognizerGCN(backbone=backbone, head=head)
+
+
+# ---------------------------------------------------------------------------
+# Canonical model presets (the reference's model-zoo configurations)
+# ---------------------------------------------------------------------------
+
+def model_cfg(name: str, num_classes: int = 60, layout: str = "nturgb+d",
+              graph_seed: int = 0) -> Dict[str, Any]:
+    """Model configs reproducing the reference's published setups.
+
+    * stgcn:   plain ST-GCN (stgcn_spatial graph; the original upstream form —
+               see configs/stgcn/STGCN_model.py history & SURVEY §0.2)
+    * stgcn++: gcn_adaptive='init', gcn_with_res, mstcn
+               (configs/stgcn++/STGCN++_model.py:1-9)
+    * aagcn:   unit_aagcn defaults (upstream AAGCN form)
+    * ctrgcn:  unit_ctrgcn + CTR-MSTCN k=5 dil(1,2) (upstream CTRGCN form)
+    * dgstgcn: dggcn+dgmstcn, random graph (DG-STGCN, configs/dgstgcn upstream)
+    * dsgcn:   dgphgcn1 with semantic node+edge attention, decompose,
+               subset_wise, ratio=0.125 (configs/dsstgcn/DSSTGCN_model.py)
+    """
+    head = dict(type="GCNHead", num_classes=num_classes, in_channels=256)
+    if name == "stgcn":
+        bb = dict(type="STGCN",
+                  graph_cfg=dict(layout=layout, mode="stgcn_spatial"))
+    elif name == "stgcn++":
+        bb = dict(type="STGCN", gcn_adaptive="init", gcn_with_res=True,
+                  tcn_type="mstcn",
+                  graph_cfg=dict(layout=layout, mode="spatial"))
+    elif name == "aagcn":
+        bb = dict(type="AAGCN",
+                  graph_cfg=dict(layout=layout, mode="spatial"))
+    elif name == "ctrgcn":
+        bb = dict(type="CTRGCN", gcn_type="unit_ctrgcn",
+                  graph_cfg=dict(layout=layout, mode="spatial"))
+    elif name == "dgstgcn":
+        bb = dict(type="DGSTGCN", gcn_type="dggcn", gcn_ratio=0.25,
+                  gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn",
+                  graph_cfg=dict(layout=layout, mode="random", num_filter=8,
+                                 init_off=0.04, init_std=0.02, seed=graph_seed))
+    elif name == "dsgcn":
+        bb = dict(type="DGSTGCN", gcn_type="dgphgcn1", gcn_ratio=0.125,
+                  gcn_node_attention=True, gcn_edge_attention=True,
+                  gcn_decompose=True, gcn_subset_wise=True,
+                  gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn",
+                  graph_cfg=dict(layout=layout, mode="random", num_filter=3,
+                                 init_off=0.04, init_std=0.02, seed=graph_seed))
+    else:
+        raise ValueError(f"unknown model {name!r}")
+    return dict(type="RecognizerGCN", backbone=bb, cls_head=head)
+
+
+def build_named_model(name: str, **kw) -> RecognizerGCN:
+    return build_model(model_cfg(name, **kw))

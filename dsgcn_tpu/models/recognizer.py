@@ -1,0 +1,44 @@
+"""Recognizer: backbone + head, with train/test forward semantics.
+
+Reference: pyskl/models/recognizers/recognizergcn.py (forward_train :20-51,
+forward_test :53-107) and base.py average_clip (:93-116).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.common import Array
+
+
+class RecognizerGCN(nn.Module):
+    """Composes a GCN backbone and a classification head.
+
+    ``__call__`` takes ``(N, M, T, V, C)`` and returns logits ``(N, classes)``.
+    Clip folding/averaging for multi-clip test is done by the caller
+    (:func:`forward_test`) so the jitted forward stays single-clip.
+    """
+    backbone: nn.Module
+    head: nn.Module
+
+    def __call__(self, keypoint: Array, *, train: bool) -> Array:
+        feat = self.backbone(keypoint, train=train)
+        return self.head(feat, train=train)
+
+    def extract_feat(self, keypoint: Array, *, train: bool = False) -> Array:
+        return self.backbone(keypoint, train=train)
+
+
+def average_clip(cls_score: Array, mode: Optional[str] = "prob") -> Array:
+    """Average class scores over clips: (N, nc, K) -> (N, K)
+    (reference base.py:93-116)."""
+    if mode is None:
+        return cls_score
+    if mode == "prob":
+        return jax.nn.softmax(cls_score, axis=2).mean(axis=1)
+    if mode == "score":
+        return cls_score.mean(axis=1)
+    raise ValueError(f"average_clips={mode!r} not supported")

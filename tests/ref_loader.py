@@ -65,7 +65,20 @@ def _install_stubs():
 
     _ensure_stub_module("mmcv.runner", load_checkpoint=load_checkpoint)
     from torch.nn.modules.batchnorm import _BatchNorm
-    _ensure_stub_module("mmcv.utils", Registry=object, _BatchNorm=_BatchNorm)
+
+    def build_from_cfg(cfg, registry, default_args=None):
+        cfg = dict(cfg)
+        cfg.pop("type")
+        raise NotImplementedError("stubbed registry build")
+
+    class DataContainer:
+        def __init__(self, data, **kw):
+            self.data = data
+
+    _ensure_stub_module("mmcv.utils", Registry=object, _BatchNorm=_BatchNorm,
+                        build_from_cfg=build_from_cfg)
+    _ensure_stub_module("mmcv.parallel", DataContainer=DataContainer)
+    _ensure_stub_module("mmcv", load=None, dump=None)
     return mmcv
 
 
