@@ -1,0 +1,103 @@
+"""Training state, optimizer, schedules, and the jitted train/eval steps.
+
+Replaces the reference's mmcv Runner + OptimizerHook machinery (pyskl/core/,
+pyskl/apis/train.py) with pure functional JAX: one pytree TrainState, one
+jitted step.  The optimizer reproduces the reference recipe exactly —
+SGD lr=0.1, momentum 0.9 (Nesterov), coupled weight decay 5e-4 applied to all
+params, CosineAnnealing to 0 by iteration (configs/_init_/lr_schedual.py:11,27).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..ops.common import Array
+from .losses import cross_entropy, top_k_correct
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   tx=tx, apply_fn=apply_fn)
+
+
+def make_optimizer(lr: float = 0.1, momentum: float = 0.9,
+                   weight_decay: float = 5e-4, nesterov: bool = True,
+                   total_steps: Optional[int] = None,
+                   schedule: str = "cosine",
+                   grad_clip: Optional[float] = None
+                   ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    """torch-SGD-equivalent chain: wd -> momentum(nesterov) -> lr schedule."""
+    if schedule == "cosine":
+        assert total_steps is not None
+        sched = optax.cosine_decay_schedule(lr, decay_steps=total_steps, alpha=0.0)
+    elif schedule == "constant":
+        sched = optax.constant_schedule(lr)
+    else:
+        raise ValueError(schedule)
+    parts = []
+    if grad_clip is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    parts.append(optax.scale_by_learning_rate(sched))
+    return optax.chain(*parts), sched
+
+
+def init_model(model, rng: jax.Array, sample: Array):
+    variables = model.init(rng, sample, train=False)
+    return variables["params"], variables.get("batch_stats", FrozenDict())
+
+
+def loss_and_metrics(apply_fn, params, batch_stats, batch: Mapping[str, Array],
+                     dropout_rng: Optional[jax.Array] = None):
+    """Forward + CE loss + on-device top-k (reference heads/base.py:50-84)."""
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    logits, mutated = apply_fn(
+        {"params": params, "batch_stats": batch_stats},
+        batch["keypoint"], train=True, mutable=["batch_stats"], rngs=rngs)
+    label = batch["label"]
+    loss = cross_entropy(logits, label)
+    metrics = dict(
+        loss=loss,
+        top1_acc=top_k_correct(logits, label, 1),
+        top5_acc=top_k_correct(logits, label, 5),
+    )
+    return loss, (mutated["batch_stats"], metrics)
+
+
+def train_step(state: TrainState, batch: Mapping[str, Array],
+               dropout_rng: Optional[jax.Array] = None
+               ) -> Tuple[TrainState, Dict[str, Array]]:
+    """Single-device step: grad, SGD update, BN running-stat update."""
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_and_metrics(state.apply_fn, p, state.batch_stats, batch,
+                                   dropout_rng), has_aux=True)
+    (_, (new_stats, metrics)), grads = grad_fn(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return state.replace(step=state.step + 1, params=new_params,
+                         batch_stats=new_stats, opt_state=new_opt), metrics
+
+
+def eval_step(apply_fn, params, batch_stats, keypoint: Array) -> Array:
+    """Forward in eval mode -> logits."""
+    return apply_fn({"params": params, "batch_stats": batch_stats},
+                    keypoint, train=False)

@@ -1,0 +1,169 @@
+"""High-level training loop: epochs, eval hook, checkpointing, logging.
+
+The TPU-native runner replacing the reference's EpochBasedSparseRunner +
+hook stack (core/local_runner/epoch_based_sparse_runner.py:22-190,
+apis/train.py:52-223): a plain epoch loop around the jitted SPMD step, with
+per-interval structured logging, validation (multi-clip averaged), best-ckpt
+tracking, and auto-resume.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import Loader
+from ..models.recognizer import average_clip
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.train import make_dp_eval_step, make_dp_train_step
+from .checkpoint import CheckpointManager
+from .metrics import evaluate
+from .train import TrainState, init_model, make_optimizer, train_step
+
+
+class JsonlLogger:
+    """Structured training log: one JSON object per record (replaces mmcv
+    TextLogger/.log.json, tools/train.py:93-95)."""
+
+    def __init__(self, work_dir: str, filename: Optional[str] = None,
+                 echo: bool = True):
+        os.makedirs(work_dir, exist_ok=True)
+        name = filename or f"{time.strftime('%Y%m%d_%H%M%S')}.log.jsonl"
+        self.path = os.path.join(work_dir, name)
+        self.echo = echo
+
+    def log(self, record: Dict[str, Any]):
+        record = {k: (float(v) if isinstance(v, (jnp.ndarray, np.floating,
+                                                 np.ndarray)) else v)
+                  for k, v in record.items()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self.echo:
+            print(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                           for k, v in record.items()), flush=True)
+
+
+class Trainer:
+    def __init__(self, model, work_dir: str, train_loader: Loader,
+                 val_loader: Optional[Loader] = None, total_epochs: int = 80,
+                 lr: float = 0.1, momentum: float = 0.9, weight_decay: float = 5e-4,
+                 grad_clip: Optional[float] = None, seed: int = 0,
+                 mesh=None, log_interval: int = 20, ckpt_interval_epochs: int = 5,
+                 eval_interval: int = 1,
+                 eval_metrics: Sequence[str] = ("top_k_accuracy",),
+                 average_clips: str = "prob", input_shape=None):
+        self.model = model
+        self.work_dir = work_dir
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.total_epochs = total_epochs
+        self.log_interval = log_interval
+        self.ckpt_interval_epochs = ckpt_interval_epochs
+        self.eval_interval = eval_interval
+        self.eval_metrics = list(eval_metrics)
+        self.average_clips = average_clips
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = JsonlLogger(work_dir)
+
+        steps_per_epoch = train_loader.steps_per_epoch()
+        total_steps = steps_per_epoch * total_epochs
+        tx, self.lr_sched = make_optimizer(
+            lr=lr, momentum=momentum, weight_decay=weight_decay,
+            total_steps=total_steps, grad_clip=grad_clip)
+
+        if input_shape is None:
+            probe = next(iter(train_loader.epoch(0)))
+            kp = probe["keypoint"]
+            input_shape = (1,) + kp.shape[2:] if kp.ndim == 6 else (1,) + kp.shape[1:]
+        sample = jnp.zeros(input_shape, jnp.float32)
+        params, stats = init_model(model, jax.random.PRNGKey(seed), sample)
+        state = TrainState.create(model.apply, params, stats, tx)
+        self.state = replicate(state, self.mesh)
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.train_step = make_dp_train_step(self.mesh)
+        self.eval_fwd = make_dp_eval_step(self.mesh, model.apply)
+        self.ckpt = CheckpointManager(work_dir)
+        self.best = (-1.0, None)
+        self.start_epoch = 0
+
+    def resume_if_possible(self):
+        restored, meta = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = replicate(restored, self.mesh)
+            self.start_epoch = int(meta.get("epoch", 0)) if meta else 0
+            self.logger.log(dict(event="resume", epoch=self.start_epoch))
+
+    @staticmethod
+    def _squeeze_clip(batch):
+        kp = batch["keypoint"]
+        if kp.ndim == 6:   # (N, nc=1, M, T, V, C) -> (N, M, T, V, C)
+            kp = kp[:, 0]
+        return dict(keypoint=kp, label=batch["label"])
+
+    def fit(self):
+        for epoch in range(self.start_epoch, self.total_epochs):
+            t_ep = time.time()
+            n_seen = 0
+            for it, batch in enumerate(self.train_loader.epoch(epoch)):
+                batch = self._squeeze_clip(batch)
+                n = batch["keypoint"].shape[0]
+                batch = shard_batch(
+                    jax.tree.map(jnp.asarray, batch), self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(self.state, batch, step_rng)
+                n_seen += n
+                if it % self.log_interval == 0:
+                    step = int(jax.device_get(self.state.step))
+                    self.logger.log(dict(
+                        mode="train", epoch=epoch, iter=it, step=step,
+                        lr=float(self.lr_sched(step)),
+                        **{k: float(v) for k, v in
+                           jax.device_get(metrics).items()}))
+            dt = time.time() - t_ep
+            self.logger.log(dict(event="epoch_done", epoch=epoch, seconds=dt,
+                                 clips_per_sec=n_seen / max(dt, 1e-9)))
+            if (epoch + 1) % self.ckpt_interval_epochs == 0 or \
+                    epoch + 1 == self.total_epochs:
+                self.ckpt.save(int(jax.device_get(self.state.step)),
+                               jax.device_get(self.state),
+                               meta=dict(epoch=epoch + 1))
+            if self.val_loader is not None and \
+                    (epoch + 1) % self.eval_interval == 0:
+                results = self.validate()
+                self.logger.log(dict(mode="val", epoch=epoch, **results))
+                key = next(iter(results))
+                if results[key] > self.best[0]:
+                    self.best = (results[key], epoch)
+                    self.ckpt.save(int(jax.device_get(self.state.step)),
+                                   jax.device_get(self.state),
+                                   meta=dict(epoch=epoch + 1, best=True),
+                                   force=True)
+        self.ckpt.wait()
+        return self.state
+
+    def validate(self) -> Dict[str, float]:
+        scores, labels = [], []
+        n_data = self.mesh.shape["data"]
+        for batch in self.val_loader.epoch(0):
+            kp = batch["keypoint"]          # (N, nc, M, T, V, C)
+            n, nc = kp.shape[:2]
+            folded = kp.reshape((n * nc,) + kp.shape[2:])
+            pad = (-len(folded)) % n_data
+            if pad:
+                folded = np.concatenate([folded, folded[:pad]], axis=0)
+            logits = self.eval_fwd(self.state.params, self.state.batch_stats,
+                                   jnp.asarray(folded))
+            logits = np.asarray(logits)[: n * nc].reshape(n, nc, -1)
+            avg = np.asarray(average_clip(jnp.asarray(logits),
+                                          self.average_clips))
+            scores.append(avg)
+            labels.extend(batch["label"].tolist())
+        scores = np.concatenate(scores, axis=0)
+        return {k: float(v) for k, v in
+                evaluate(scores, labels, self.eval_metrics).items()}

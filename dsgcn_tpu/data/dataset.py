@@ -1,0 +1,219 @@
+"""Datasets and batch loading.
+
+Reference parity targets: PoseDataset (datasets/pose_dataset.py:12-125),
+BaseDataset anno loading/evaluate (datasets/base.py), RepeatDataset /
+ConcatDataset (dataset_wrappers.py:8-73), deterministic-per-epoch
+DistributedSampler (samplers/distributed_sampler.py:9-43).
+
+TPU-native loading model: each host builds the same dataset object, the
+sampler deterministically assigns a disjoint index shard per host (seed +
+epoch), and a thread pool maps the NumPy pipeline over samples into fixed-shape
+batches ready for ``jax.device_put``.
+"""
+from __future__ import annotations
+
+import copy as cp
+import pickle
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .transforms import Compose, build_pipeline
+
+
+def load_annotations(ann_file: str) -> Dict:
+    with open(ann_file, "rb") as f:
+        return pickle.load(f)
+
+
+class PoseDataset:
+    """Skeleton pickle dataset with named splits (pose_dataset.py:12-125).
+
+    anno file layout: {'split': {name: [frame_dir, ...]}, 'annotations':
+    [{frame_dir, label, keypoint (M, T, V, C), total_frames, ...}, ...]}.
+    """
+
+    def __init__(self, ann_file: str, pipeline: Sequence[Dict] | Compose,
+                 split: Optional[str] = None, valid_ratio: Optional[float] = None,
+                 box_thr: Optional[float] = None, test_mode: bool = False):
+        self.ann_file = ann_file
+        self.pipeline = (pipeline if isinstance(pipeline, Compose)
+                         else build_pipeline(pipeline))
+        self.test_mode = test_mode
+
+        data = load_annotations(ann_file)
+        annos = data["annotations"] if isinstance(data, dict) else data
+        if split is not None:
+            assert isinstance(data, dict) and "split" in data, \
+                "split requested but anno file has no split dict"
+            allowed = set(data["split"][split])
+            key = "frame_dir" if "frame_dir" in annos[0] else "filename"
+            annos = [a for a in annos if a[key] in allowed]
+        # valid_rate truncation for 2D annos (pose_dataset.py:101-102)
+        if valid_ratio is not None and valid_ratio > 0:
+            annos = [a for a in annos
+                     if a.get("valid", {}).get(box_thr, a.get("total_frames", 1))
+                     / a.get("total_frames", 1) >= valid_ratio]
+        self.video_infos = annos
+
+    def __len__(self) -> int:
+        return len(self.video_infos)
+
+    def prepare(self, idx: int, rng: Optional[np.random.RandomState] = None):
+        results = cp.deepcopy(self.video_infos[idx])
+        results.setdefault("start_index", 0)
+        results.setdefault("total_frames", results["keypoint"].shape[1])
+        results["test_mode"] = self.test_mode
+        return self.pipeline(results, rng=rng)
+
+    __getitem__ = prepare
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.array([a["label"] for a in self.video_infos])
+
+
+class RepeatDataset:
+    """Repeat a dataset ``times`` times (dataset_wrappers.py:8-38) — the
+    reference's mechanism for effective-epoch scaling."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = times
+
+    def __len__(self):
+        return self.times * len(self.dataset)
+
+    def prepare(self, idx, rng=None):
+        return self.dataset.prepare(idx % len(self.dataset), rng=rng)
+
+    __getitem__ = prepare
+
+    @property
+    def labels(self):
+        return np.tile(self.dataset.labels, self.times)
+
+
+class ConcatDataset:
+    """Concatenation wrapper (dataset_wrappers.py:42-73)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def prepare(self, idx, rng=None):
+        d = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[d].prepare(idx - self._offsets[d], rng=rng)
+
+    __getitem__ = prepare
+
+    @property
+    def labels(self):
+        return np.concatenate([d.labels for d in self.datasets])
+
+
+def epoch_indices(n: int, epoch: int, shard: int = 0, num_shards: int = 1,
+                  shuffle: bool = True, seed: int = 0,
+                  drop_last_to_multiple: Optional[int] = None) -> np.ndarray:
+    """Deterministic per-epoch shard indices (distributed_sampler.py:9-43).
+
+    All hosts compute the same permutation of range(n) from seed+epoch, pad to
+    a multiple of num_shards by wrapping, and take a strided slice per shard.
+    """
+    if shuffle:
+        g = np.random.RandomState(seed + epoch)
+        inds = g.permutation(n)
+    else:
+        inds = np.arange(n)
+    total = ((n + num_shards - 1) // num_shards) * num_shards
+    if total > n:
+        inds = np.concatenate([inds, inds[: total - n]])
+    inds = inds[shard::num_shards]
+    if drop_last_to_multiple:
+        keep = (len(inds) // drop_last_to_multiple) * drop_last_to_multiple
+        inds = inds[:keep]
+    return inds
+
+
+class Loader:
+    """Maps the pipeline over an index shard into stacked numpy batches.
+
+    Per-sample RNG derives from (seed, epoch, index) so results are
+    reproducible regardless of worker scheduling — the spirit of the
+    reference's worker_init_fn seeding (datasets/builder.py:118-124) with
+    stronger determinism.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, shard: int = 0, num_shards: int = 1,
+                 num_workers: int = 8, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard = shard
+        self.num_shards = num_shards
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self._pool = (ThreadPoolExecutor(num_workers) if num_workers else None)
+
+    def steps_per_epoch(self) -> int:
+        n = len(epoch_indices(len(self.dataset), 0, self.shard, self.num_shards,
+                              self.shuffle, self.seed))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _prepare(self, idx: int, epoch: int):
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + epoch * 7919 + int(idx)) % (2 ** 31))
+        return self.dataset.prepare(int(idx), rng=rng)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        inds = epoch_indices(len(self.dataset), epoch, self.shard,
+                             self.num_shards, self.shuffle, self.seed)
+        nb = len(inds) // self.batch_size if self.drop_last else \
+            (len(inds) + self.batch_size - 1) // self.batch_size
+        for b in range(nb):
+            chunk = inds[b * self.batch_size:(b + 1) * self.batch_size]
+            if self._pool is not None:
+                samples = list(self._pool.map(
+                    lambda i: self._prepare(i, epoch), chunk))
+            else:
+                samples = [self._prepare(i, epoch) for i in chunk]
+            yield _collate(samples)
+
+
+def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = np.asarray(vals)
+    return out
+
+
+def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
+                                v=25, c=3, seed=0, path=None):
+    """Synthetic NTU-like annotations for tests/benchmarks (no real data in CI)."""
+    rng = np.random.default_rng(seed)
+    annos = []
+    for i in range(num_samples):
+        label = int(rng.integers(num_classes))
+        kp = rng.standard_normal((m, t, v, c)).astype(np.float32)
+        kp[..., 0] += label * 0.35
+        annos.append(dict(frame_dir=f"S{i:05d}", label=label, keypoint=kp,
+                          total_frames=t))
+    data = dict(split={"train": [a["frame_dir"] for a in annos[: num_samples * 3 // 4]],
+                       "val": [a["frame_dir"] for a in annos[num_samples * 3 // 4:]]},
+                annotations=annos)
+    if path is not None:
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+    return data

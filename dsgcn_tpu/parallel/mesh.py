@@ -1,0 +1,50 @@
+"""Device mesh and sharding helpers.
+
+The reference scales only by data parallelism over NCCL DDP (SURVEY §2.9,
+apis/train.py:98-102).  The TPU-native equivalent: one ``jax.sharding.Mesh``
+over all chips with a ``data`` axis (and an optional ``graph`` axis reserved
+for joint-partition parallelism), batch sharded over ``data``, parameters
+replicated, gradients reduced with ``psum`` over ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+GRAPH_AXIS = "graph"
+
+
+def make_mesh(n_data: Optional[int] = None, n_graph: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh of shape (data, graph); defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_graph
+    assert n_data * n_graph <= len(devices), \
+        f"need {n_data * n_graph} devices, have {len(devices)}"
+    dev = np.asarray(devices[: n_data * n_graph]).reshape(n_data, n_graph)
+    return Mesh(dev, (DATA_AXIS, GRAPH_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with its leading dim over the data axis."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    r = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, r), tree)
