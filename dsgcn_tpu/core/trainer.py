@@ -128,11 +128,7 @@ class Trainer:
             dt = time.time() - t_ep
             self.logger.log(dict(event="epoch_done", epoch=epoch, seconds=dt,
                                  clips_per_sec=n_seen / max(dt, 1e-9)))
-            if (epoch + 1) % self.ckpt_interval_epochs == 0 or \
-                    epoch + 1 == self.total_epochs:
-                self.ckpt.save(int(jax.device_get(self.state.step)),
-                               jax.device_get(self.state),
-                               meta=dict(epoch=epoch + 1))
+            is_best = False
             if self.val_loader is not None and \
                     (epoch + 1) % self.eval_interval == 0:
                 results = self.validate()
@@ -140,10 +136,14 @@ class Trainer:
                 key = next(iter(results))
                 if results[key] > self.best[0]:
                     self.best = (results[key], epoch)
-                    self.ckpt.save(int(jax.device_get(self.state.step)),
-                                   jax.device_get(self.state),
-                                   meta=dict(epoch=epoch + 1, best=True),
-                                   force=True)
+                    is_best = True
+            if (epoch + 1) % self.ckpt_interval_epochs == 0 or \
+                    epoch + 1 == self.total_epochs or is_best:
+                self.ckpt.save(int(jax.device_get(self.state.step)),
+                               jax.device_get(self.state),
+                               meta=dict(epoch=epoch + 1, best=is_best,
+                                         score=self.best[0]),
+                               force=True)
         self.ckpt.wait()
         return self.state
 

@@ -206,8 +206,10 @@ def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
     annos = []
     for i in range(num_samples):
         label = int(rng.integers(num_classes))
-        kp = rng.standard_normal((m, t, v, c)).astype(np.float32)
-        kp[..., 0] += label * 0.35
+        # class signal = per-sample scale: survives the pipeline's centering
+        # (PreNormalize3D) and random rotations (norm-preserving)
+        kp = (rng.standard_normal((m, t, v, c)) * (1.0 + 0.5 * label)
+              ).astype(np.float32)
         annos.append(dict(frame_dir=f"S{i:05d}", label=label, keypoint=kp,
                           total_frames=t))
     data = dict(split={"train": [a["frame_dir"] for a in annos[: num_samples * 3 // 4]],

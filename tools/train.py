@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Training CLI (TPU-native equivalent of reference tools/train.py).
+
+Usage: python tools/train.py CONFIG [--work-dir D] [--validate] [--seed N]
+       [--no-auto-resume] [--total-epochs N]
+
+One process drives the whole chip mesh (SPMD) — no torch.distributed.launch;
+multi-host runs call jax.distributed.initialize() when JAX_COORDINATOR is set.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a skeleton-GCN recognizer")
+    p.add_argument("config")
+    p.add_argument("--work-dir")
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--total-epochs", type=int)
+    p.add_argument("--no-auto-resume", action="store_true")
+    p.add_argument("--test-last", action="store_true")
+    return p.parse_args()
+
+
+def build_loaders(cfg, seed):
+    import jax
+    from dsgcn_tpu.data.dataset import Loader, PoseDataset, RepeatDataset
+
+    def build_ds(dcfg, test_mode=False):
+        dcfg = dict(dcfg)
+        typ = dcfg.pop("type", "PoseDataset")
+        if typ == "RepeatDataset":
+            times = dcfg.pop("times", 1)
+            return RepeatDataset(build_ds(dcfg.pop("dataset"), test_mode), times)
+        assert typ == "PoseDataset"
+        return PoseDataset(dcfg["ann_file"], dcfg["pipeline"],
+                           split=dcfg.get("split"), test_mode=test_mode)
+
+    data = cfg["data"]
+    n_hosts, host = jax.process_count(), jax.process_index()
+    bpg = data.get("videos_per_gpu", 16)
+    train = Loader(build_ds(data["train"]), batch_size=bpg, drop_last=True,
+                   seed=seed, shard=host, num_shards=n_hosts,
+                   num_workers=data.get("workers_per_gpu", 8))
+    val = None
+    if "val" in data:
+        val = Loader(build_ds(data["val"], test_mode=True),
+                     batch_size=data.get("test_dataloader", {}).get(
+                         "videos_per_gpu", bpg),
+                     shuffle=False, num_workers=data.get("workers_per_gpu", 8))
+    return train, val
+
+
+def main():
+    args = parse_args()
+    if os.environ.get("JAX_COORDINATOR"):
+        import jax
+        jax.distributed.initialize()
+
+    from dsgcn_tpu.configs.config import Config
+    from dsgcn_tpu.core.trainer import Trainer
+    from dsgcn_tpu.models.builder import build_model
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, "config.json"))
+
+    model = build_model(cfg["model"])
+    train_loader, val_loader = build_loaders(cfg, args.seed)
+    opt = cfg.get("optimizer", {})
+    total_epochs = args.total_epochs or cfg.get("total_epochs", 80)
+
+    trainer = Trainer(
+        model, work_dir, train_loader,
+        val_loader if (args.validate or "val" in cfg.get("data", {})) else None,
+        total_epochs=total_epochs,
+        lr=opt.get("lr", 0.1), momentum=opt.get("momentum", 0.9),
+        weight_decay=opt.get("weight_decay", 5e-4),
+        grad_clip=(cfg.get("optimizer_config", {}) or {}).get(
+            "grad_clip", None),
+        seed=args.seed,
+        ckpt_interval_epochs=cfg.get("checkpoint_config", {}).get("interval", 5),
+        eval_interval=cfg.get("evaluation", {}).get("interval", 1),
+        eval_metrics=cfg.get("evaluation", {}).get(
+            "metrics", ["top_k_accuracy"]),
+    )
+    if not args.no_auto_resume:
+        trainer.resume_if_possible()
+    trainer.fit()
+    if args.test_last and val_loader is not None:
+        print("final:", trainer.validate())
+
+
+if __name__ == "__main__":
+    main()
