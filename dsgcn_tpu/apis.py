@@ -1,0 +1,61 @@
+"""User-facing inference API (reference pyskl/apis/inference.py:20-184).
+
+``init_recognizer`` builds a model from a config and restores an orbax
+checkpoint; ``inference_recognizer`` pushes one skeleton annotation dict
+through the test pipeline and returns the top-5 (label, score) list.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .configs.config import Config
+from .core.checkpoint import CheckpointManager
+from .core.train import TrainState, init_model, make_optimizer
+from .data.transforms import build_pipeline
+from .models.builder import build_model
+from .models.recognizer import average_clip
+
+
+def init_recognizer(config, work_dir: Optional[str] = None,
+                    step: Optional[int] = None):
+    """Build model (+ restore checkpoint if work_dir given) -> (model, state, cfg)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = config if isinstance(config, (dict, Config)) else Config.fromfile(config)
+    model = build_model(cfg["model"])
+    sample = jnp.zeros((1, 2, 8, 25, 3), jnp.float32)
+    params, stats = init_model(model, jax.random.PRNGKey(0), sample)
+    tx, _ = make_optimizer(lr=0.1, total_steps=1)
+    state = TrainState.create(model.apply, params, stats, tx)
+    if work_dir is not None:
+        restored, _ = CheckpointManager(work_dir).restore(state, step=step)
+        assert restored is not None, f"no checkpoint under {work_dir}/ckpt"
+        state = restored
+    return model, state, cfg
+
+
+def inference_recognizer(model, state, anno: Dict, test_pipeline=None,
+                         cfg=None, topk: int = 5,
+                         average_clips: str = "prob") -> List[Tuple[int, float]]:
+    """Run a single sample dict through the test pipeline and the model."""
+    import jax
+    import jax.numpy as jnp
+
+    if test_pipeline is None:
+        assert cfg is not None
+        test_pipeline = build_pipeline(cfg["data"]["test"]["pipeline"])
+    elif not callable(test_pipeline):
+        test_pipeline = build_pipeline(test_pipeline)
+
+    results = test_pipeline(dict(anno))
+    kp = results["keypoint"]            # (nc, M, T, V, C)
+    logits = model.apply({"params": state.params,
+                          "batch_stats": state.batch_stats},
+                         jnp.asarray(kp), train=False)   # (nc, classes)
+    scores = np.asarray(average_clip(jnp.asarray(logits)[None],
+                                     average_clips))[0]
+    order = np.argsort(scores)[::-1][:topk]
+    return [(int(i), float(scores[i])) for i in order]

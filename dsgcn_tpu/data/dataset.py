@@ -208,7 +208,7 @@ def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
         label = int(rng.integers(num_classes))
         # class signal = per-sample scale: survives the pipeline's centering
         # (PreNormalize3D) and random rotations (norm-preserving)
-        kp = (rng.standard_normal((m, t, v, c)) * (1.0 + 0.5 * label)
+        kp = (rng.standard_normal((m, t, v, c)) * (1.0 + 0.75 * label)
               ).astype(np.float32)
         annos.append(dict(frame_dir=f"S{i:05d}", label=label, keypoint=kp,
                           total_frames=t))

@@ -50,7 +50,7 @@ def test_trainer_end_to_end(ann_file, tmp_path):
     model = build_named_model("stgcn++", num_classes=4)
     mesh = make_mesh(n_data=4)
     trainer = Trainer(model, str(tmp_path / "wd"), train_loader, val_loader,
-                      total_epochs=4, lr=0.02, mesh=mesh,
+                      total_epochs=5, lr=0.03, mesh=mesh,
                       ckpt_interval_epochs=1, log_interval=4)
     trainer.fit()
     res = trainer.validate()
@@ -58,10 +58,10 @@ def test_trainer_end_to_end(ann_file, tmp_path):
 
     # resume path: a fresh trainer picks up the checkpoint
     trainer2 = Trainer(model, str(tmp_path / "wd"), train_loader, val_loader,
-                       total_epochs=4, lr=0.02, mesh=mesh,
+                       total_epochs=5, lr=0.03, mesh=mesh,
                        ckpt_interval_epochs=1)
     trainer2.resume_if_possible()
-    assert trainer2.start_epoch == 4
+    assert trainer2.start_epoch == 5
     assert int(jax.device_get(trainer2.state.step)) > 0
     res2 = trainer2.validate()
     assert abs(res2["top1_acc"] - res["top1_acc"]) < 1e-6
