@@ -275,6 +275,8 @@ class DGGCN(nn.Module):
     subset_wise: bool = False
     ada_act: str = "softmax"
     ctr_act: str = "tanh"
+    use_pallas: bool = False       # fused VMEM graph-build+aggregate kernel
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -312,6 +314,19 @@ class DGGCN(nn.Module):
             # to reference layout (N, K, C, Tq, V)
             x1 = jnp.transpose(x1, (0, 3, 4, 1, 2))
             x2 = jnp.transpose(x2, (0, 3, 4, 1, 2))
+
+        if (self.use_pallas and self.ctr == "T" and self.ada == "T"
+                and self.ctr_act == "tanh" and self.ada_act == "softmax"):
+            from .pallas.dyn_graph import fused_dyn_graph_agg
+            a_vec = _gate_vec(alpha, K, 0, K, self.subset_wise)
+            b_vec = _gate_vec(beta, K, 0, K, self.subset_wise)
+            y = fused_dyn_graph_agg(
+                pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
+                A_param, a_vec, b_vec, None, None, None, K, mid, -1, 15,
+                self.pallas_interpret)
+            y = PointConv(self.out_channels, name="post_conv")(y)
+            y = BatchNorm(name="bn")(y, use_running_average=not train)
+            return jax.nn.relu(y + res)
 
         if self.ctr is not None:
             diff = x1[..., :, None] - x2[..., None, :]    # (N,K,C,Tq,V,V)
@@ -400,6 +415,8 @@ class DGPHGCN1(nn.Module):
     subset_wise: bool = True
     ada_act: str = "softmax"
     ctr_act: str = "tanh"
+    use_pallas: bool = False       # fused VMEM graph-build+aggregate kernel
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -488,6 +505,30 @@ class DGPHGCN1(nn.Module):
             else:
                 x1, x2 = x1n, x2n
 
+        # ---- fused Pallas path (graph build + aggregation in VMEM) ----------
+        active_edge = edge_attention and decompose
+        if (self.use_pallas and self.ctr == "T" and self.ada == "T"
+                and not self.ada_attention and self.ctr_act == "tanh"
+                and self.ada_act == "softmax"
+                and (not active_edge or sem == 1)):
+            from .pallas.dyn_graph import edge_onehot, fused_dyn_graph_agg
+            if active_edge:
+                ew, eb = _ConvParams(mid, E * mid, name="edge_linears")()
+                sel = jnp.asarray(edge_onehot(np.asarray(self.edge_type), E))
+                edge_k = norm - sem
+            else:
+                ew = eb = sel = None
+                edge_k = -1
+            a_vec = _gate_vec(alpha, K, sem, norm, subset_wise)
+            b_vec = _gate_vec(beta, K, sem, norm, subset_wise)
+            y = fused_dyn_graph_agg(
+                pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
+                A_param, a_vec, b_vec, ew, eb, sel, K, mid, edge_k, E,
+                self.pallas_interpret)
+            y = PointConv(self.out_channels, name="post_conv")(y)
+            y = BatchNorm(name="bn")(y, use_running_average=not train)
+            return jax.nn.relu(y + res)
+
         # ---- CTR (diff) graph ----------------------------------------------
         if self.ctr is not None:
             if decompose:
@@ -543,14 +584,36 @@ class DGPHGCN1(nn.Module):
         return jax.nn.relu(y + res)
 
 
+class _ConvParams(nn.Module):
+    """Raw 1x1-conv parameters with PointConv-compatible variable naming, for
+    kernels that need the weights directly (param paths stay checkpoint-
+    compatible with the non-Pallas PointConv path)."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_default_kernel(),
+                       (self.in_features, self.features))
+        b = self.param("bias", torch_default_bias(self.in_features),
+                       (self.features,))
+        return k, b
+
+
+def _gate_vec(gates: Array, K: int, sem: int, norm: int,
+              subset_wise: bool) -> Array:
+    """Effective per-subset (K,) gate vector, incl. the repeat_interleave
+    grouping for the 3-gate (sub_att=False) case (reference gcn.py:2302-2309)."""
+    if not subset_wise:
+        return jnp.full((K,), gates[0], gates.dtype)
+    if K == gates.shape[0]:
+        return gates
+    rep = math.ceil(K / 3)
+    return jnp.repeat(gates, rep)[2 * sem - norm:]
+
+
 def _gate(gates: Array, K: int, sem: int, norm: int, subset_wise: bool) -> Array:
-    """Per-subset gate broadcast, incl. the repeat_interleave grouping for the
-    3-gate (sub_att=False) case (reference gcn.py:2302-2309)."""
     if not subset_wise:
         return gates[0]
-    if K == gates.shape[0]:
-        g = gates
-    else:
-        rep = math.ceil(K / 3)
-        g = jnp.repeat(gates, rep)[2 * sem - norm:]
-    return g[None, :, None, None, None, None]
+    return _gate_vec(gates, K, sem, norm,
+                     subset_wise)[None, :, None, None, None, None]
