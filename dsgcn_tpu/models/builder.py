@@ -14,6 +14,7 @@ from flax.core import FrozenDict
 from ..graph import GraphConfig
 from .backbones import AAGCN, CTRGCN, DGSTGCN, STGCN
 from .heads import GCNHead
+from .msg3d_sgn import MSG3D, SGN
 from .recognizer import RecognizerGCN
 
 BACKBONES = {
@@ -21,6 +22,8 @@ BACKBONES = {
     "AAGCN": AAGCN,
     "CTRGCN": CTRGCN,
     "DGSTGCN": DGSTGCN,
+    "MSG3D": MSG3D,
+    "SGN": SGN,
 }
 
 HEADS = {
@@ -37,6 +40,12 @@ def build_backbone(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
     typ = cfg.pop("type")
     cls = BACKBONES[typ]
+    if typ in ("MSG3D", "SGN"):   # plain-field backbones, no block_args routing
+        if "graph_cfg" in cfg:
+            gc = cfg.pop("graph_cfg")
+            cfg["graph_cfg"] = gc if isinstance(gc, GraphConfig) \
+                else GraphConfig(**gc)
+        return cls(**cfg)
     gc = cfg.pop("graph_cfg")
     if not isinstance(gc, GraphConfig):
         gc = GraphConfig(**gc)
@@ -107,6 +116,13 @@ def model_cfg(name: str, num_classes: int = 60, layout: str = "nturgb+d",
                   gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn",
                   graph_cfg=dict(layout=layout, mode="random", num_filter=3,
                                  init_off=0.04, init_std=0.02, seed=graph_seed))
+    elif name == "msg3d":
+        bb = dict(type="MSG3D",
+                  graph_cfg=dict(layout=layout, mode="binary_adj"))
+        head = dict(type="GCNHead", num_classes=num_classes, in_channels=384)
+    elif name == "sgn":
+        bb = dict(type="SGN")
+        head = dict(type="GCNHead", num_classes=num_classes, in_channels=512)
     else:
         raise ValueError(f"unknown model {name!r}")
     return dict(type="RecognizerGCN", backbone=bb, cls_head=head)
