@@ -87,14 +87,26 @@ class PreNormalize3D:
     randomized = False
 
     def __init__(self, zaxis=(0, 1), xaxis=(8, 4), align_spine=True,
-                 align_center=True):
+                 align_center=True, use_native=True):
         self.zaxis = list(zaxis)
         self.xaxis = list(xaxis)
         self.align_spine = align_spine
         self.align_center = align_center
+        self.use_native = use_native
 
     def __call__(self, results: Dict) -> Dict:
         skeleton = results["keypoint"]
+        if (self.use_native and self.align_center and skeleton.ndim == 4
+                and skeleton.shape[-1] == 3 and skeleton.sum() != 0):
+            from .native import prenormalize3d
+            native = prenormalize3d(skeleton, self.align_spine,
+                                    self.align_center, self.zaxis, self.xaxis)
+            if native is not None:
+                kept, t_new, center = native
+                results["keypoint"] = kept
+                results["total_frames"] = t_new
+                results["body_center"] = center
+                return results
         total_frames = results.get("total_frames", skeleton.shape[1])
         M, T, V, C = skeleton.shape
         assert T == total_frames

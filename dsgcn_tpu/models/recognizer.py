@@ -23,10 +23,14 @@ class RecognizerGCN(nn.Module):
     """
     backbone: nn.Module
     head: nn.Module
+    compute_dtype: Optional[str] = None   # e.g. 'bfloat16' for MXU-rate matmuls
 
     def __call__(self, keypoint: Array, *, train: bool) -> Array:
+        if self.compute_dtype is not None:
+            keypoint = keypoint.astype(self.compute_dtype)
         feat = self.backbone(keypoint, train=train)
-        return self.head(feat, train=train)
+        logits = self.head(feat, train=train)
+        return logits.astype(jnp.float32)
 
     def extract_feat(self, keypoint: Array, *, train: bool = False) -> Array:
         return self.backbone(keypoint, train=train)

@@ -97,11 +97,13 @@ class PointConv(nn.Module):
         kinit = self.kernel_init or torch_default_kernel()
         binit = self.bias_init or torch_default_bias(in_features)
         kernel = self.param("kernel", kinit, (in_features, self.features))
-        y = jnp.einsum("...i,io->...o", x, kernel,
+        # mixed precision: compute in the activation dtype (bf16 matmuls on
+        # the MXU when the model runs bf16), params stay fp32
+        y = jnp.einsum("...i,io->...o", x, kernel.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,))
-            y = y + bias
+            y = y + bias.astype(x.dtype)
         return y
 
 
@@ -136,6 +138,7 @@ class TemporalConv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kinit,
             bias_init=binit,
+            dtype=x.dtype,           # mixed precision: compute in act dtype
             name="conv",
         )(x)
         return y
@@ -154,9 +157,12 @@ class BatchNorm(nn.Module):
     def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        return nn.BatchNorm(
+        # BN statistics always in fp32; output cast back to the act dtype
+        y = nn.BatchNorm(
             use_running_average=ura, momentum=0.9, epsilon=1e-5,
-            scale_init=self.scale_init, bias_init=self.bias_init, name="bn")(x)
+            scale_init=self.scale_init, bias_init=self.bias_init,
+            name="bn")(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 def bn_scale_init(scale: float) -> Callable:
