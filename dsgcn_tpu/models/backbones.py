@@ -235,6 +235,18 @@ def stage_plan(in_channels: int, base_channels: int, ch_ratio: float,
     return plan
 
 
+class _RematBlock(nn.Module):
+    """Wrapper binding the static ``train`` flag so jax.checkpoint sees a
+    single traced argument (activation rematerialization per block trades
+    FLOPs for HBM — the dynamic-graph tensors dominate training memory)."""
+    block: nn.Module
+    train: bool
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return self.block(x, train=self.train)
+
+
 class _BackboneBase(nn.Module):
     """Shared stage loop; subclasses provide make_block(i, in_c, out_c, stride, res, kwargs)."""
     graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="spatial")
@@ -246,6 +258,7 @@ class _BackboneBase(nn.Module):
     inflate_stages: Tuple[int, ...] = (5, 8)
     down_stages: Tuple[int, ...] = (5, 8)
     data_bn_type: Optional[str] = "VC"
+    remat: bool = False
     block_args: FrozenDict = FrozenDict()
 
     def _graph(self) -> Graph:
@@ -271,7 +284,11 @@ class _BackboneBase(nn.Module):
             kwargs["_lw_index"] = i + offset
             blk = self.make_block(i, graph, A, in_c, out_c, stride, residual,
                                   kwargs)
-            x = blk(x, train=train)
+            if self.remat and train:
+                x = nn.remat(_RematBlock)(block=blk, train=train,
+                                          name=f"remat{i}")(x)
+            else:
+                x = blk(x, train=train)
         return x.reshape((n, m) + x.shape[1:])
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):

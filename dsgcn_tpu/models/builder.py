@@ -32,7 +32,7 @@ HEADS = {
 
 _BACKBONE_FIELDS = {
     "in_channels", "base_channels", "ch_ratio", "num_person", "num_stages",
-    "inflate_stages", "down_stages", "data_bn_type",
+    "inflate_stages", "down_stages", "data_bn_type", "remat",
 }
 
 
@@ -77,7 +77,7 @@ def build_model(cfg: Dict[str, Any]) -> RecognizerGCN:
 # ---------------------------------------------------------------------------
 
 def model_cfg(name: str, num_classes: int = 60, layout: str = "nturgb+d",
-              graph_seed: int = 0) -> Dict[str, Any]:
+              graph_seed: int = 0, use_pallas: bool = False) -> Dict[str, Any]:
     """Model configs reproducing the reference's published setups.
 
     * stgcn:   plain ST-GCN (stgcn_spatial graph; the original upstream form —
@@ -125,6 +125,8 @@ def model_cfg(name: str, num_classes: int = 60, layout: str = "nturgb+d",
         head = dict(type="GCNHead", num_classes=num_classes, in_channels=512)
     else:
         raise ValueError(f"unknown model {name!r}")
+    if use_pallas and bb["type"] == "DGSTGCN":
+        bb["gcn_use_pallas"] = True
     return dict(type="RecognizerGCN", backbone=bb, cls_head=head)
 
 
