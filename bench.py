@@ -62,7 +62,7 @@ def main():
         tx, _ = make_optimizer(lr=0.1, total_steps=100)
         state = TrainState.create(model.apply, params, stats, tx)
         tb = dict(keypoint=xb, label=jnp.asarray(rng.integers(0, 60, size=bs)))
-        step = jax.jit(train_step, donate_argnums=0)
+        step = jax.jit(train_step)  # no donation: variables reused below
         state, _ = step(state, tb, jax.random.PRNGKey(0))
         t0 = time.perf_counter()
         iters = 20

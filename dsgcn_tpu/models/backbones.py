@@ -23,8 +23,9 @@ from flax.core import FrozenDict
 
 from ..graph import Graph, GraphConfig
 from ..ops.common import Array, PointConv
-from ..ops.gcn import DGGCN, DGPHGCN1, UnitAAGCN, UnitCTRGCN, UnitGCN
-from ..ops.tcn import CTRMSTCN, DGMSTCN, MSTCN, UnitTCN
+from ..ops.gcn import (DGGCN, DGPHGCN1, UnitAAGCN, UnitAAHGCN,
+                       UnitCTRGCN, UnitCTRHGCN, UnitGCN)
+from ..ops.tcn import CTRMSTCN, DGMSTCN, MSTCN, UnitMLP, UnitTCN
 
 EPS = 1e-4
 
@@ -92,6 +93,19 @@ def _make_tcn(tcn_type: str, out_channels: int, stride: int,
         kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
               for k, v in tcn_kwargs.items()}
         return DGMSTCN(out_channels, stride=stride, name=name, **kw)
+    if tcn_type == "unitmlp":
+        return UnitMLP(out_channels, kernel_size=9, stride=stride, name=name,
+                       **tcn_kwargs)
+    if tcn_type == "msmlp":
+        kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
+              for k, v in tcn_kwargs.items()}
+        return MSTCN(out_channels, stride=stride, branch_kind="mlp",
+                     name=name, **kw)
+    if tcn_type == "dgmsmlp":
+        kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
+              for k, v in tcn_kwargs.items()}
+        return DGMSTCN(out_channels, stride=stride, branch_kind="mlp",
+                       name=name, **kw)
     raise ValueError(f"unknown tcn type {tcn_type!r}")
 
 
@@ -137,11 +151,14 @@ class STGCNBlock(nn.Module):
 
 
 class AAGCNBlock(nn.Module):
-    """unit_aagcn + temporal conv (reference aagcn.py:12-55)."""
+    """unit_aagcn / unit_aahgcn + temporal conv (reference aagcn.py:12-55)."""
     out_channels: int
     A: np.ndarray
     stride: int = 1
     residual: bool = True
+    gcn_type: str = "unit_aagcn"
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
     gcn_kwargs: FrozenDict = FrozenDict()
     tcn_type: str = "unit_tcn"
     tcn_kwargs: FrozenDict = FrozenDict()
@@ -150,15 +167,21 @@ class AAGCNBlock(nn.Module):
     def __call__(self, x: Array, *, train: bool) -> Array:
         res = ResidualTCN(self.out_channels, self.stride, self.residual,
                           name="residual")(x, train=train)
-        y = UnitAAGCN(self.out_channels, A_init=self.A, name="gcn",
-                      **self.gcn_kwargs)(x, train=train)
+        if self.gcn_type == "unit_aahgcn":
+            y = UnitAAHGCN(self.out_channels, A_init=self.A,
+                           edge_type=self.edge_type, node_type=self.node_type,
+                           name="gcn", **self.gcn_kwargs)(x, train=train)
+        else:
+            y = UnitAAGCN(self.out_channels, A_init=self.A, name="gcn",
+                          **self.gcn_kwargs)(x, train=train)
         y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
                       dict(self.tcn_kwargs))(y, train=train)
         return jax.nn.relu(y + res)
 
 
 class CTRGCNBlock(nn.Module):
-    """unit_ctrgcn + CTR multi-scale TCN (reference ctrgcn.py:9-61)."""
+    """unit_ctrgcn / unit_ctrhgcn + CTR multi-scale TCN (reference
+    ctrgcn.py:9-61)."""
     in_channels: int
     out_channels: int
     A: np.ndarray
@@ -167,14 +190,25 @@ class CTRGCNBlock(nn.Module):
     kernel_size: int = 5
     dilations: Tuple[int, ...] = (1, 2)
     tcn_dropout: float = 0.0
+    gcn_type: str = "unit_ctrgcn"
+    semantic_index: bool = False
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
     gcn_kwargs: FrozenDict = FrozenDict()
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         res = ResidualTCN(self.out_channels, self.stride, self.residual,
                           name="residual")(x, train=train)
-        y = UnitCTRGCN(self.in_channels, self.out_channels, A_init=self.A,
-                       name="gcn", **self.gcn_kwargs)(x, train=train)
+        if self.gcn_type == "unit_ctrhgcn":
+            y = UnitCTRHGCN(self.in_channels, self.out_channels,
+                            A_init=self.A, edge_type=self.edge_type,
+                            node_type=self.node_type,
+                            semantic_index=self.semantic_index, name="gcn",
+                            **self.gcn_kwargs)(x, train=train)
+        else:
+            y = UnitCTRGCN(self.in_channels, self.out_channels, A_init=self.A,
+                           name="gcn", **self.gcn_kwargs)(x, train=train)
         y = CTRMSTCN(self.out_channels, kernel_size=self.kernel_size,
                      stride=self.stride, dilations=self.dilations,
                      residual=False, tcn_dropout=self.tcn_dropout,
@@ -319,7 +353,11 @@ class AAGCN(_BackboneBase):
         kwargs.pop("_lw_index", None)
         gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
         tcn_type = tcn_kwargs.pop("type", "unit_tcn")
+        gcn_type = gcn_kwargs.pop("type", "unit_aagcn")
+        nt = np.array(graph.node_type) if graph.node_type is not None else None
         return AAGCNBlock(out_c, A=A, stride=stride, residual=residual,
+                          gcn_type=gcn_type, edge_type=graph.edge_type,
+                          node_type=nt,
                           gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
                           tcn_kwargs=FrozenDict(tcn_kwargs), name=f"block{i}")
 
@@ -328,13 +366,20 @@ class CTRGCN(_BackboneBase):
     """CTR-GCN backbone (reference ctrgcn.py:69-123); data_bn MVC, CTR-MSTCN."""
     data_bn_type: Optional[str] = "MVC"
 
+    semantic_stage: Tuple[int, ...] = tuple(range(1, 11))
+
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
-        kwargs.pop("_lw_index", None)
+        lw_index = kwargs.pop("_lw_index", i)
         gcn_kwargs, tcn_kwargs = route_prefix(dict(kwargs))
-        gcn_kwargs.pop("type", None)
+        gcn_type = gcn_kwargs.pop("type", "unit_ctrgcn")
         tcn_kwargs.pop("type", None)
         extra = {k: tuple_ify(v) for k, v in tcn_kwargs.items()}
+        nt = np.array(graph.node_type) if graph.node_type is not None else None
+        # reference: stage number (1-based) in semantic_stage (ctrgcn.py:98-105)
+        semantic_index = (lw_index + 1) in self.semantic_stage
         return CTRGCNBlock(in_c, out_c, A=A, stride=stride, residual=residual,
+                           gcn_type=gcn_type, semantic_index=semantic_index,
+                           edge_type=graph.edge_type, node_type=nt,
                            gcn_kwargs=FrozenDict(gcn_kwargs), name=f"block{i}",
                            **extra)
 

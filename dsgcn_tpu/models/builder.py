@@ -33,6 +33,7 @@ HEADS = {
 _BACKBONE_FIELDS = {
     "in_channels", "base_channels", "ch_ratio", "num_person", "num_stages",
     "inflate_stages", "down_stages", "data_bn_type", "remat",
+    "semantic_stage",
 }
 
 
@@ -50,7 +51,7 @@ def build_backbone(cfg: Dict[str, Any]):
     if not isinstance(gc, GraphConfig):
         gc = GraphConfig(**gc)
     fields = {k: v for k, v in cfg.items() if k in _BACKBONE_FIELDS}
-    for k in ("inflate_stages", "down_stages"):
+    for k in ("inflate_stages", "down_stages", "semantic_stage"):
         if k in fields:
             fields[k] = tuple(fields[k])
     block_args = {k: (tuple(v) if isinstance(v, list) else v)

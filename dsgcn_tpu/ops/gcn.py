@@ -212,6 +212,99 @@ class UnitAAGCN(nn.Module):
         return y
 
 
+class UnitAAHGCN(nn.Module):
+    """Heterogeneous (semantic) AAGCN unit (reference unit_aahgcn,
+    gcn.py:462-632) — AAGCN with per-node-type Q/K projections and optional
+    per-edge-class attention on the data-dependent graph."""
+    out_channels: int
+    A_init: np.ndarray
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
+    node_att: bool = False
+    edge_att: bool = False
+    num_types: int = 5
+    edge_num: int = 15
+    coff_embedding: int = 4
+    adaptive: bool = True
+    attention: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        K, V, _ = self.A_init.shape
+        n, t, v, c = x.shape
+        inter_c = self.out_channels // self.coff_embedding
+        P, E = self.num_types, self.edge_num
+
+        y = None
+        if self.adaptive:
+            A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+            alpha = self.param("alpha", nn.initializers.zeros_init(), (1,))
+            for i in range(K):
+                if self.node_att:
+                    # per-node-type Q/K channels, gathered per joint
+                    # (gcn.py:573-581)
+                    a = PointConv(inter_c * P, name=f"conv_a{i}",
+                                  kernel_init=kaiming_normal_fan_out(),
+                                  bias_init=nn.initializers.zeros_init())(x)
+                    b = PointConv(inter_c * P, name=f"conv_b{i}",
+                                  kernel_init=kaiming_normal_fan_out(),
+                                  bias_init=nn.initializers.zeros_init())(x)
+                    a = a.reshape(n, t, v, inter_c, P)
+                    b = b.reshape(n, t, v, inter_c, P)
+                    a = jnp.moveaxis(a, 2, -1)     # (n,t,inter,P,V)
+                    b = jnp.moveaxis(b, 2, -1)
+                    a = _type_gather(a, self.node_type, type_axis=3)  # (n,t,inter,V)
+                    b = _type_gather(b, self.node_type, type_axis=3)
+                    a = jnp.moveaxis(a, -1, 2)     # (n,t,V,inter)
+                    b = jnp.moveaxis(b, -1, 2)
+                else:
+                    a = PointConv(inter_c, name=f"conv_a{i}",
+                                  kernel_init=kaiming_normal_fan_out(),
+                                  bias_init=nn.initializers.zeros_init())(x)
+                    b = PointConv(inter_c, name=f"conv_b{i}",
+                                  kernel_init=kaiming_normal_fan_out(),
+                                  bias_init=nn.initializers.zeros_init())(x)
+                g = jnp.tanh(jnp.einsum("ntvc,ntwc->nvw", a, b,
+                                        preferred_element_type=jnp.float32)
+                             / (inter_c * t)).astype(x.dtype)
+                if self.edge_att:
+                    # expand to edge_num classes via a 1->E conv on the (V, V)
+                    # graph and keep each edge's class (gcn.py:582-593)
+                    es = PointConv(E, name=f"conv_edge{i}",
+                                   kernel_init=kaiming_normal_fan_out(),
+                                   bias_init=nn.initializers.zeros_init())(
+                                       g[..., None])          # (n,V,V,E)
+                    es = jnp.moveaxis(es, -1, 1)              # (n,E,V,V)
+                    g = _edge_class_select(es, self.edge_type)  # (n,V,V)
+                Ai = A[i] + g * alpha[0]
+                z = jnp.einsum("ntvc,nvw->ntwc", x, Ai,
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                z = PointConv(self.out_channels, name=f"conv_d{i}",
+                              kernel_init=branch_init(K))(z)
+                y = z if y is None else y + z
+        else:
+            A = jnp.asarray(self.A_init, jnp.float32)
+            for i in range(K):
+                z = jnp.einsum("ntvc,vw->ntwc", x, A[i],
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                z = PointConv(self.out_channels, name=f"conv_d{i}",
+                              kernel_init=branch_init(K))(z)
+                y = z if y is None else y + z
+
+        if c != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv",
+                          kernel_init=kaiming_normal_fan_out())(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+        y = BatchNorm(name="bn", scale_init=bn_scale_init(1e-6))(
+            y, use_running_average=not train)
+        y = jax.nn.relu(y + res)
+        if self.attention:
+            y = AttentionChain(self.out_channels, name="att")(y)
+        return y
+
+
 class CTRGC(nn.Module):
     """Channel-wise topology refinement unit (reference CTRGC, gcn.py:634-659)."""
     in_channels: int
@@ -233,6 +326,148 @@ class CTRGC(nn.Module):
         # reference einsum('ncuv,nctu->nctv') (gcn.py:658)
         return jnp.einsum("nuwc,ntuc->ntwc", g, x3,
                           preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class CTRHGC(nn.Module):
+    """Semantic CTR-GC unit (reference CTRHGC, gcn.py:668-776): per-node-type
+    Q/K, per-edge-class attention over the diff topology, target-specific
+    per-type value conv, optional global ada graph."""
+    in_channels: int
+    out_channels: int
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
+    rel_reduction: int = 8
+    node_attention: bool = True
+    edge_attention: bool = False
+    target_specific: bool = False
+    full_channels: bool = False
+    add_type: bool = False
+    ada: bool = False
+    num_types: int = 5
+    edge_num: int = 15
+    semantic_index: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, A: Optional[Array], alpha: Array) -> Array:
+        n, t, v, c = x.shape
+        rel = 8 if self.in_channels <= 16 else self.in_channels // self.rel_reduction
+        P, E = self.num_types, self.edge_num
+        ki = kaiming_normal_fan_out()
+        zb = nn.initializers.zeros_init()
+        node_att = self.node_attention and self.semantic_index
+        edge_att = self.edge_attention and self.semantic_index
+        tgt = self.target_specific and self.semantic_index
+
+        qk_feats = rel * (P if node_att else 1)
+        x1 = PointConv(qk_feats, name="conv1", kernel_init=ki, bias_init=zb)(x)
+        x2 = PointConv(qk_feats, name="conv2", kernel_init=ki, bias_init=zb)(x)
+        x3 = PointConv(self.out_channels, name="conv3", kernel_init=ki,
+                       bias_init=zb)(x)
+        if node_att:
+            # (gcn.py:727-730): gather own-type channels per joint, then T-mean
+            def gather(arr):
+                a = arr.reshape(n, t, v, rel, P)
+                a = jnp.moveaxis(a, 2, -1)                 # (n,t,rel,P,V)
+                a = _type_gather(a, self.node_type, type_axis=3)
+                return a.mean(axis=1)                      # (n,rel,V)
+            x1, x2 = gather(x1), gather(x2)
+        else:
+            x1 = jnp.moveaxis(x1.mean(axis=1), 1, 2)       # (n,rel,V)
+            x2 = jnp.moveaxis(x2.mean(axis=1), 1, 2)
+
+        diff = jnp.tanh(x1[..., :, None] - x2[..., None, :])   # (n,rel,V,V)
+        conv4 = PointConv(self.out_channels, name="conv4", kernel_init=ki,
+                          bias_init=zb)
+        if edge_att:
+            # (gcn.py:736-749): expand diff to edge classes, static select;
+            # conv4 is SHARED between the class-merge and add_type paths
+            out_f = self.out_channels if self.full_channels else rel
+            d = jnp.moveaxis(diff, 1, -1)                  # (n,V,V,rel)
+            es = PointConv(E * out_f, name="edge_att_conv", kernel_init=ki,
+                           bias_init=zb)(d)
+            es = es.reshape(n, v, v, E, out_f)
+            es = jnp.transpose(es, (0, 4, 3, 1, 2))        # (n,out_f,E,V,V)
+            ea = _edge_class_select(es, self.edge_type)    # (n,out_f,V,V)
+            if not self.full_channels:
+                ea = jnp.moveaxis(conv4(jnp.moveaxis(ea, 1, -1)), -1, 1)
+            if self.add_type:
+                ea = ea + jnp.moveaxis(conv4(jnp.moveaxis(diff, 1, -1)), -1, 1)
+            edge_graph = ea
+        else:
+            edge_graph = jnp.moveaxis(conv4(jnp.moveaxis(diff, 1, -1)), -1, 1)
+
+        G = edge_graph * alpha + (A[None, None] if A is not None else 0.0)
+        if self.ada:
+            beta = self.param("beta", nn.initializers.zeros_init(), (1,))
+            ada_graph = jnp.einsum("ncv,ncw->nvw", x1, x2)[:, None]
+            G = ada_graph * beta[0] + G
+
+        if tgt:
+            # per-node-type value conv, gathered per joint (gcn.py:762-766)
+            xn = PointConv(P * self.out_channels, name="nodeconv",
+                           kernel_init=ki, bias_init=zb)(x)
+            xn = xn.reshape(n, t, v, P, self.out_channels)
+            xn = jnp.moveaxis(xn, 2, -1)                   # (n,t,P,out,V)
+            xn = _type_gather(xn, self.node_type, type_axis=2)  # (n,t,out,V)
+            x3 = x3 + jnp.moveaxis(xn, 2, -1)              # -> (n,t,V,out)
+
+        # reference einsum('ncuv,nctu->nctv') (gcn.py:768)
+        return jnp.einsum("ncuw,ntuc->ntwc", G, x3,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class UnitCTRHGCN(nn.Module):
+    """K-subset semantic CTR-GC wrapper (reference unit_ctrhgcn,
+    gcn.py:778-880).
+
+    Reproduces the reference's branch-toggle quirk: the loop's local-variable
+    shadowing (gcn.py:807-836) means branch 0 runs with node_attention forced
+    False and the given edge_attention, branches 1+ with both False.
+    """
+    in_channels: int
+    out_channels: int
+    A_init: np.ndarray
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
+    semantic_index: bool = False
+    rel_reduction: int = 8
+    node_attention: bool = False
+    edge_attention: bool = False
+    target_specific: bool = False
+    full_channels: bool = False
+    add_type: bool = False
+    ada: bool = False
+    num_types: int = 5
+    edge_num: int = 15
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        K = self.A_init.shape[0]
+        A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
+        y = None
+        for i in range(K):
+            node_att = False                       # forced off for all i
+            edge_att = self.edge_attention if i == 0 else False
+            z = CTRHGC(self.in_channels, self.out_channels,
+                       edge_type=self.edge_type, node_type=self.node_type,
+                       rel_reduction=self.rel_reduction,
+                       node_attention=node_att, edge_attention=edge_att,
+                       target_specific=self.target_specific,
+                       full_channels=self.full_channels,
+                       add_type=self.add_type, ada=self.ada,
+                       num_types=self.num_types, edge_num=self.edge_num,
+                       semantic_index=self.semantic_index,
+                       name=f"convs{i}")(x, A[i], alpha[i])
+            y = z if y is None else y + z
+        y = BatchNorm(name="bn", scale_init=bn_scale_init(1e-6))(
+            y, use_running_average=not train)
+        if self.in_channels != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv")(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+        return jax.nn.relu(y + res)
 
 
 class UnitCTRGCN(nn.Module):

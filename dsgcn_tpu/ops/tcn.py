@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import (Array, BatchNorm, PointConv, TemporalConv,
-                     kaiming_normal_fan_out, max_pool_t)
+                     kaiming_normal_fan_out, max_pool_t, torch_default_bias)
 
 MsCfgEntry = Union[str, Tuple[Union[str, int], int]]
 DEFAULT_MS_CFG: Tuple[MsCfgEntry, ...] = ((3, 1), (3, 2), (3, 3), (3, 4), ("max", 3), "1x1")
@@ -40,16 +40,74 @@ class UnitTCN(nn.Module):
         return y
 
 
-class _MSBranches(nn.Module):
-    """Shared multi-branch structure of mstcn/dgmstcn (reference tcn.py:134-153).
+class UnitMLP(nn.Module):
+    """Depthwise *causal* temporal conv + 1x1 merge — the reference's
+    temporal-MLP unit (unitmlp, tcn.py:525-610).
 
-    Branch i: 1x1 -> BN -> ReLU -> {k x 1 dilated conv | maxpool} , or a plain
-    strided 1x1.  Branch 0 gets the remainder channels.
+    kernel = (k+1)//2 taps, left-padded (causal); optional fused plain tcn
+    via a learned alpha gate (add_tcn, tcn.py:598-604).
+    """
+    out_channels: int
+    kernel_size: int = 5
+    stride: int = 1
+    dilation: int = 1
+    norm: Optional[str] = "BN"
+    dropout: float = 0.0
+    adaptive: bool = True
+    add_tcn: bool = False
+    merge_after: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        n, t, v, c = x.shape
+        assert c == self.out_channels, "depthwise mlp expects in == out channels"
+        mlp_size = (self.kernel_size + 1) // 2
+        d = self.dilation
+        pad = mlp_size + (mlp_size - 1) * (d - 1) - 1   # causal left pad
+        kernel = self.param("conv_kernel", torch_default_bias(mlp_size),
+                            (mlp_size, 1, 1, c))
+        bias = self.param("conv_bias", torch_default_bias(mlp_size), (c,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(self.stride, 1),
+            padding=((pad, 0), (0, 0)), rhs_dilation=(d, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        y = y + bias.astype(x.dtype)
+
+        if self.add_tcn:
+            x_tcn = TemporalConv(self.out_channels, self.kernel_size,
+                                 self.stride, d, name="conv2")(x)
+            if self.adaptive:
+                alpha = self.param("alpha", nn.initializers.zeros_init(), (1,))
+            else:
+                alpha = jnp.ones((1,), x.dtype)
+            if self.merge_after:
+                y = PointConv(self.out_channels, name="conv1")(y)
+                y = y + alpha[0] * x_tcn
+            else:
+                y = y + alpha[0] * x_tcn
+                y = PointConv(self.out_channels, name="conv1")(y)
+        else:
+            y = PointConv(self.out_channels, name="conv1")(y)
+        if self.norm is not None:
+            y = BatchNorm(name="bn")(y, use_running_average=not train)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return y
+
+
+class _MSBranches(nn.Module):
+    """Shared multi-branch structure of mstcn/dgmstcn/msmlp (reference
+    tcn.py:134-153, 215-234).
+
+    Branch i: 1x1 -> BN -> ReLU -> {k x 1 dilated conv | causal mlp | maxpool},
+    or a plain strided 1x1.  Branch 0 gets the remainder channels.
     """
     out_channels: int
     mid_channels: Optional[float] = None
     ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
     stride: int = 1
+    branch_kind: str = "tcn"    # 'tcn' | 'mlp'
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -75,6 +133,10 @@ class _MSBranches(nn.Module):
             b = jax.nn.relu(b)
             if kind == "max":
                 b = max_pool_t(b, window=val, stride=self.stride, padding=1)
+            elif self.branch_kind == "mlp":
+                b = UnitMLP(branch_c, kernel_size=kind, stride=self.stride,
+                            dilation=val, norm=None, name=f"branch{i}_mlp")(
+                                b, train=train)
             else:
                 b = UnitTCN(branch_c, kernel_size=kind, stride=self.stride,
                             dilation=val, norm=None, name=f"branch{i}_tcn")(
@@ -84,17 +146,20 @@ class _MSBranches(nn.Module):
 
 
 class MSTCN(nn.Module):
-    """STGCN++ multi-scale TCN (reference mstcn, tcn.py:104-180)."""
+    """STGCN++ multi-scale TCN (reference mstcn, tcn.py:104-180); with
+    branch_kind='mlp' it becomes the author's msmlp (tcn.py:182-262)."""
     out_channels: int
     mid_channels: Optional[float] = None
     dropout: float = 0.0
     ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
     stride: int = 1
+    branch_kind: str = "tcn"
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         feat = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
-                           self.stride, name="branches")(x, train=train)
+                           self.stride, self.branch_kind,
+                           name="branches")(x, train=train)
         feat = BatchNorm(name="transform_bn")(feat, use_running_average=not train)
         feat = jax.nn.relu(feat)
         feat = PointConv(self.out_channels, name="transform_conv")(feat)
@@ -118,6 +183,7 @@ class DGMSTCN(nn.Module):
     dropout: float = 0.0
     ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
     stride: int = 1
+    branch_kind: str = "tcn"    # 'mlp' -> the author's dgmsmlp (tcn.py:432-524)
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -127,7 +193,8 @@ class DGMSTCN(nn.Module):
         # append global mean joint (tcn.py:409)
         xg = jnp.concatenate([x, x.mean(axis=2, keepdims=True)], axis=2)
         out = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
-                          self.stride, name="branches")(xg, train=train)
+                          self.stride, self.branch_kind,
+                          name="branches")(xg, train=train)
         local_feat = out[:, :, :v]
         global_feat = out[:, :, v]                       # (N, T', C')
         feat = local_feat + global_feat[:, :, None, :] * add_coeff[:v][None, None, :, None]

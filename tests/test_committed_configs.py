@@ -1,0 +1,133 @@
+"""The reference's *committed* family configs: AAGCN_model.py
+(unit_aahgcn + unitmlp) and CTRGCN_model.py (unit_ctrhgcn + msmlp) —
+full-backbone parity + smoke."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import ref_loader
+import torch_bridge as tb
+from dsgcn_tpu.models.builder import build_backbone
+
+RNG = np.random.default_rng(13)
+
+
+@pytest.fixture(scope="module")
+def refbb():
+    return ref_loader.load_ref_backbones()
+
+
+def _x(n=2, m=2, t=24, v=25, c=3):
+    return RNG.standard_normal((n, m, t, v, c)).astype(np.float32)
+
+
+def _unitmlp_vars(ref):
+    w = tb.t2n(ref.conv.weight)
+    k = w.shape[-1]
+    kernel = np.transpose(w, (2, 1, 0)).reshape(k, 1, 1, -1)
+    params = {"conv_kernel": jnp.asarray(kernel),
+              "conv_bias": jnp.asarray(tb.t2n(ref.conv.bias)),
+              "conv1": tb.dense_p(ref.conv1)}
+    stats = {}
+    import torch.nn as nn
+    if not isinstance(ref.bn, nn.Identity):
+        params["bn"] = tb.bn_p(ref.bn)
+        stats["bn"] = tb.bn_s(ref.bn)
+    return params, stats
+
+
+def _aahgcn_vars(ref, edge_att=False):
+    params = {"A": jnp.asarray(tb.t2n(ref.A)),
+              "alpha": jnp.asarray(tb.t2n(ref.alpha)),
+              "bn": tb.bn_p(ref.bn),
+              "att": {"conv_sa": tb.conv1d_p(ref.conv_sa),
+                      "conv_ta": tb.conv1d_p(ref.conv_ta),
+                      "fc1c": tb.dense_p(ref.fc1c),
+                      "fc2c": tb.dense_p(ref.fc2c)}}
+    stats = {"bn": tb.bn_s(ref.bn)}
+    import torch.nn as nn
+    if isinstance(ref.down, nn.Sequential):
+        params["down_conv"] = tb.dense_p(ref.down[0])
+        params["down_bn"] = tb.bn_p(ref.down[1])
+        stats["down_bn"] = tb.bn_s(ref.down[1])
+    for i in range(ref.num_subset):
+        params[f"conv_d{i}"] = tb.dense_p(ref.conv_d[i])
+        params[f"conv_a{i}"] = tb.dense_p(ref.conv_a[i])
+        params[f"conv_b{i}"] = tb.dense_p(ref.conv_b[i])
+        if edge_att:
+            params[f"conv_edge{i}"] = tb.dense_p(ref.conv_edge[i])
+    return params, stats
+
+
+def test_aahgcn_backbone_committed_config(refbb):
+    """AAGCN_model.py committed: gcn_type='unit_aahgcn', tcn_type='unitmlp'."""
+    ref = refbb["aagcn"].AAGCN(
+        graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+        gcn_type="unit_aahgcn", tcn_type="unitmlp",
+        gcn_node_att=True)
+    tb.randomize_all_bns(ref, RNG)
+    with torch.no_grad():
+        for blk in ref.gcn:
+            blk.gcn.alpha.copy_(torch.tensor([0.3]))
+
+    our = build_backbone(dict(
+        type="AAGCN", gcn_type="unit_aahgcn", tcn_type="unitmlp",
+        gcn_node_att=True,
+        graph_cfg=dict(layout="nturgb+d", mode="spatial")))
+
+    params, stats = {"data_bn": {"bn": tb.plain_bn_p(ref.data_bn)}}, \
+        {"data_bn": {"bn": tb.plain_bn_s(ref.data_bn)}}
+    for i, blk in enumerate(ref.gcn):
+        gp, gs = _aahgcn_vars(blk.gcn)
+        tp, ts = _unitmlp_vars(blk.tcn)
+        params[f"block{i}"] = {"gcn": gp, "tcn": tp}
+        stats[f"block{i}"] = {"gcn": gs, "tcn": ts}
+        import torch.nn as nn
+        if isinstance(blk.residual, nn.Module):
+            rp, rs = tb.unit_tcn_vars(blk.residual)
+            params[f"block{i}"]["residual"] = {"down": rp}
+            stats[f"block{i}"]["residual"] = {"down": rs}
+
+    x = _x()
+    ref.eval()
+    with torch.no_grad():
+        want = tb.t2n(ref(torch.tensor(np.ascontiguousarray(x))))
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(our.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(x), train=False))
+    # 10 stages of SE-attention sigmoids with randomized BN stats amplify fp32
+    # noise on a handful of elements; assert wiring via distributional bounds
+    # (unit-level parity is exact in test_semantic_ops_parity).
+    scale = max(1.0, float(np.abs(want).max()))
+    diff = np.abs(got - want)
+    assert np.quantile(diff, 0.999) <= 1e-3 * scale, np.quantile(diff, 0.999)
+    assert diff.max() <= 2e-2 * scale, diff.max()
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.99999, corr
+
+
+def test_ctrhgcn_backbone_smoke():
+    """CTRGCN_model.py committed: unit_ctrhgcn (+ semantic stages) runs."""
+    our = build_backbone(dict(
+        type="CTRGCN", gcn_type="unit_ctrhgcn", gcn_node_attention=True,
+        gcn_edge_attention=True, semantic_stage=list(range(1, 11)),
+        graph_cfg=dict(layout="nturgb+d", mode="spatial")))
+    x = jnp.asarray(_x(n=1, t=16))
+    v = our.init(jax.random.PRNGKey(0), x, train=False)
+    y = our.apply(v, x, train=False)
+    assert y.shape == (1, 2, 4, 25, 256)
+
+
+def test_dgsmlp_backbone_smoke():
+    """DGSTGCN with the author's dgmsmlp temporal unit runs."""
+    our = build_backbone(dict(
+        type="DGSTGCN", gcn_type="dggcn", tcn_type="dgmsmlp",
+        graph_cfg=dict(layout="nturgb+d", mode="random", num_filter=3,
+                       seed=0)))
+    x = jnp.asarray(_x(n=1, t=16))
+    v = our.init(jax.random.PRNGKey(0), x, train=False)
+    y = our.apply(v, x, train=False)
+    assert y.shape == (1, 2, 4, 25, 256)
