@@ -518,11 +518,20 @@ class Collect:
         return {k: results[k] for k in self.keys}
 
 
+def _heatmap_transforms():
+    from .heatmap import GeneratePoseTarget
+    from .pose_aug import (CenterCrop, Flip, FormatHeatmapInput, PoseCompact,
+                           RandomResizedCrop, Resize)
+    return [GeneratePoseTarget, PoseCompact, RandomResizedCrop, CenterCrop,
+            Resize, Flip, FormatHeatmapInput]
+
+
 TRANSFORMS = {c.__name__: c for c in
               [PreNormalize3D, PreNormalize2D, RandomRot, RandomScale,
                RandomGaussianNoise, JointToBone, ToMotion, MergeSkeFeat,
                GenSkeFeat, UniformSampleFrames, UniformSample, PoseDecode,
-               PadTo, FormatGCNInput, Collect, Rename]}
+               PadTo, FormatGCNInput, Collect, Rename]
+              + _heatmap_transforms()}
 
 
 def build_pipeline(cfgs: Sequence[Dict]) -> Compose:

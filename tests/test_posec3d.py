@@ -70,3 +70,28 @@ def test_posec3d_trains():
         mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)}
     )[0].sum())(v["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_posec3d_full_pipeline():
+    """UniformSample -> PoseDecode -> PoseCompact -> Resize -> RRC -> Resize ->
+    Flip -> GeneratePoseTarget (the pyskl posec3d practice)."""
+    from dsgcn_tpu.data.transforms import build_pipeline
+    pipe = build_pipeline([
+        dict(type="UniformSampleFrames", clip_len=8),
+        dict(type="PoseDecode"),
+        dict(type="PoseCompact", hw_ratio=1.0, allow_imgpad=True),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="RandomResizedCrop", area_range=(0.56, 1.0)),
+        dict(type="Resize", scale=(56, 56), keep_ratio=False),
+        dict(type="Flip", flip_ratio=0.5),
+        dict(type="GeneratePoseTarget", sigma=0.6, use_score=True),
+        dict(type="FormatHeatmapInput"),
+        dict(type="Collect", keys=["imgs", "label"]),
+    ])
+    kp = RNG.uniform(10, 200, size=(2, 40, 17, 2)).astype(np.float32)
+    score = RNG.uniform(0.3, 1.0, size=(2, 40, 17)).astype(np.float32)
+    out = pipe(dict(keypoint=kp, keypoint_score=score, img_shape=(240, 320),
+                    total_frames=40, start_index=0, label=7),
+               rng=np.random.RandomState(0))
+    assert out["imgs"].shape == (1, 8, 56, 56, 17)
+    assert out["imgs"].max() > 0
