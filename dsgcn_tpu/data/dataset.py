@@ -118,14 +118,28 @@ class ConcatDataset:
 
 def epoch_indices(n: int, epoch: int, shard: int = 0, num_shards: int = 1,
                   shuffle: bool = True, seed: int = 0,
-                  drop_last_to_multiple: Optional[int] = None) -> np.ndarray:
+                  drop_last_to_multiple: Optional[int] = None,
+                  class_prob: Optional[dict] = None,
+                  labels: Optional[np.ndarray] = None) -> np.ndarray:
     """Deterministic per-epoch shard indices (distributed_sampler.py:9-43).
 
     All hosts compute the same permutation of range(n) from seed+epoch, pad to
     a multiple of num_shards by wrapping, and take a strided slice per shard.
+    With ``class_prob`` (label -> replication factor), samples are replicated
+    per class before shuffling (ClassSpecificDistributedSampler semantics,
+    samplers/distributed_sampler.py:46-112).
     """
-    if shuffle:
-        g = np.random.RandomState(seed + epoch)
+    g = np.random.RandomState(seed + epoch)
+    if class_prob is not None:
+        assert labels is not None
+        reps = np.array([class_prob.get(int(l), 1.0) for l in labels])
+        counts = np.floor(reps).astype(int)
+        counts += (g.rand(n) < (reps - counts)).astype(int)
+        inds = np.repeat(np.arange(n), counts)
+        n = len(inds)
+        if shuffle:
+            inds = inds[g.permutation(n)]
+    elif shuffle:
         inds = g.permutation(n)
     else:
         inds = np.arange(n)
@@ -150,7 +164,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, shard: int = 0, num_shards: int = 1,
-                 num_workers: int = 8, drop_last: bool = False):
+                 num_workers: int = 8, drop_last: bool = False,
+                 class_prob: Optional[dict] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -159,11 +174,17 @@ class Loader:
         self.num_shards = num_shards
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self.class_prob = class_prob
         self._pool = (ThreadPoolExecutor(num_workers) if num_workers else None)
 
+    def _indices(self, epoch):
+        labels = self.dataset.labels if self.class_prob is not None else None
+        return epoch_indices(len(self.dataset), epoch, self.shard,
+                             self.num_shards, self.shuffle, self.seed,
+                             class_prob=self.class_prob, labels=labels)
+
     def steps_per_epoch(self) -> int:
-        n = len(epoch_indices(len(self.dataset), 0, self.shard, self.num_shards,
-                              self.shuffle, self.seed))
+        n = len(self._indices(0))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -174,8 +195,7 @@ class Loader:
         return self.dataset.prepare(int(idx), rng=rng)
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        inds = epoch_indices(len(self.dataset), epoch, self.shard,
-                             self.num_shards, self.shuffle, self.seed)
+        inds = self._indices(epoch)
         nb = len(inds) // self.batch_size if self.drop_last else \
             (len(inds) + self.batch_size - 1) // self.batch_size
         for b in range(nb):

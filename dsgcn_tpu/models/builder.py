@@ -13,6 +13,7 @@ from flax.core import FrozenDict
 
 from ..graph import GraphConfig
 from .backbones import AAGCN, CTRGCN, DGSTGCN, STGCN
+from .cnns import RecognizerPoseC3D, ResNet3d, ResNet3dSlowOnly
 from .heads import GCNHead
 from .msg3d_sgn import MSG3D, SGN
 from .recognizer import RecognizerGCN
@@ -24,6 +25,8 @@ BACKBONES = {
     "DGSTGCN": DGSTGCN,
     "MSG3D": MSG3D,
     "SGN": SGN,
+    "ResNet3d": ResNet3d,
+    "ResNet3dSlowOnly": ResNet3dSlowOnly,
 }
 
 HEADS = {
@@ -41,11 +44,16 @@ def build_backbone(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
     typ = cfg.pop("type")
     cls = BACKBONES[typ]
-    if typ in ("MSG3D", "SGN"):   # plain-field backbones, no block_args routing
+    if typ in ("MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly"):
+        # plain-field backbones, no block_args routing
         if "graph_cfg" in cfg:
             gc = cfg.pop("graph_cfg")
             cfg["graph_cfg"] = gc if isinstance(gc, GraphConfig) \
                 else GraphConfig(**gc)
+        for k in ("stage_blocks", "conv1_stride", "pool1_stride", "inflate",
+                  "spatial_strides", "temporal_strides", "conv1_kernel"):
+            if k in cfg:
+                cfg[k] = tuple(cfg[k])
         return cls(**cfg)
     gc = cfg.pop("graph_cfg")
     if not isinstance(gc, GraphConfig):
@@ -65,12 +73,18 @@ def build_head(cfg: Dict[str, Any]):
     return HEADS[typ](**cfg)
 
 
-def build_model(cfg: Dict[str, Any]) -> RecognizerGCN:
+def build_model(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
-    assert cfg.pop("type", "RecognizerGCN") == "RecognizerGCN"
+    typ = cfg.pop("type", "RecognizerGCN")
     backbone = build_backbone(cfg["backbone"])
+    if typ == "RecognizerPoseC3D":
+        return RecognizerPoseC3D(backbone=backbone,
+                                 num_classes=cfg.get("num_classes", 60),
+                                 dropout=cfg.get("dropout", 0.5))
+    assert typ == "RecognizerGCN"
     head = build_head(cfg["cls_head"])
-    return RecognizerGCN(backbone=backbone, head=head)
+    return RecognizerGCN(backbone=backbone, head=head,
+                         compute_dtype=cfg.get("compute_dtype"))
 
 
 # ---------------------------------------------------------------------------

@@ -84,3 +84,17 @@ def test_loader_sharding_disjoint(ann_file):
     b = epoch_indices(len(ds), 1, shard=1, num_shards=2)
     assert set(a).isdisjoint(set(b)) or len(ds) % 2 == 1
     assert len(a) + len(b) >= len(ds)
+
+
+def test_class_prob_sampler(ann_file):
+    from dsgcn_tpu.data.dataset import Loader, PoseDataset, epoch_indices
+    ds = PoseDataset(ann_file, TRAIN_PIPE, split="train")
+    labels = ds.labels
+    # triple-sample class 0
+    inds = epoch_indices(len(ds), 1, class_prob={0: 3.0}, labels=labels)
+    base = (labels == 0).sum()
+    got = (labels[inds] == 0).sum()
+    assert got == 3 * base
+    # loader integrates it
+    loader = Loader(ds, batch_size=8, class_prob={0: 3.0}, num_workers=0)
+    assert loader.steps_per_epoch() >= (len(ds) + 2 * base) // 8
