@@ -37,6 +37,19 @@ def cross_entropy(cls_score: Array, label: Array,
     return loss * loss_weight
 
 
+def bce_with_logits(cls_score: Array, label: Array,
+                    class_weight: Optional[Array] = None,
+                    loss_weight: float = 1.0) -> Array:
+    """Binary CE with logits for multi-label targets
+    (reference cross_entropy_loss.py BCELossWithLogits)."""
+    logp = jax.nn.log_sigmoid(cls_score)
+    lognp = jax.nn.log_sigmoid(-cls_score)
+    loss = -(label * logp + (1.0 - label) * lognp)
+    if class_weight is not None:
+        loss = loss * class_weight[None]
+    return loss.mean() * loss_weight
+
+
 def top_k_correct(cls_score: Array, label: Array, k: int) -> Array:
     """Fraction of samples whose true label is in the top-k scores
     (on-device metric, reference heads/base.py:66-72)."""

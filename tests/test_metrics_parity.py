@@ -64,3 +64,34 @@ def test_mean_average_precision_parity(ref_eval):
     want = ref_eval.mean_average_precision(scores, labels)
     got = M.mean_average_precision(scores, labels)
     assert got == pytest.approx(want)
+
+
+def test_bce_and_soft_ce_match_torch():
+    import torch
+    import jax.numpy as jnp
+    from dsgcn_tpu.core.losses import bce_with_logits, cross_entropy
+    logits = RNG.standard_normal((8, 5)).astype(np.float32)
+    soft = RNG.random((8, 5)).astype(np.float32)
+    hard = RNG.integers(0, 5, 8)
+    # BCE
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.tensor(logits), torch.tensor(soft)).item()
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(soft)))
+    assert abs(got - want) < 1e-6
+    # hard CE
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(logits), torch.tensor(hard)).item()
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(hard)))
+    assert abs(got - want) < 1e-6
+    # soft CE (reference cross_entropy_loss.py:55-66: -sum(logsoftmax * label))
+    lsm = torch.nn.functional.log_softmax(torch.tensor(logits), 1)
+    want = (-(lsm * torch.tensor(soft)).sum(1)).mean().item()
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(soft)))
+    assert abs(got - want) < 1e-5
+    # class-weighted hard CE
+    w = RNG.random(5).astype(np.float32) + 0.5
+    want = torch.nn.functional.cross_entropy(
+        torch.tensor(logits), torch.tensor(hard), weight=torch.tensor(w)).item()
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(hard),
+                              class_weight=jnp.asarray(w)))
+    assert abs(got - want) < 1e-5
