@@ -23,7 +23,7 @@ from flax.core import FrozenDict
 
 from ..graph import Graph, GraphConfig
 from ..ops.common import Array, PointConv
-from ..ops.gcn import (DGGCN, DGPHGCN1, UnitAAGCN, UnitAAHGCN,
+from ..ops.gcn import (DGGCN, DGHGCN, DGPHGCN1, UnitAAGCN, UnitAAHGCN,
                        UnitCTRGCN, UnitCTRHGCN, UnitGCN)
 from ..ops.tcn import CTRMSTCN, DGMSTCN, MSTCN, UnitMLP, UnitTCN
 
@@ -236,6 +236,10 @@ class DGBlock(nn.Module):
         if self.gcn_type == "dggcn":
             y = DGGCN(self.out_channels, A_init=self.A, name="gcn",
                       **self.gcn_kwargs)(x, train=train)
+        elif self.gcn_type == "dghgcn":
+            y = DGHGCN(self.out_channels, A_init=self.A,
+                       edge_type=self.edge_type, node_type=self.node_type,
+                       name="gcn", **self.gcn_kwargs)(x, train=train)
         elif self.gcn_type == "dgphgcn1":
             y = DGPHGCN1(self.out_channels, A_init=self.A,
                          edge_type=self.edge_type, node_type=self.node_type,

@@ -616,6 +616,128 @@ def _dispatch_contract(pre_x: Array, A6: Array, ctr, ada) -> Array:
     return out.astype(pre_x.dtype)
 
 
+class DGHGCN(nn.Module):
+    """Semantic DG-GCN without subset decomposition (reference dghgcn,
+    gcn.py:1586-1806) — the DGBlock default gcn_type.  Semantic node/edge
+    attentions apply to ALL K subsets; target-specific values are added after
+    aggregation (gcn.py:1791-1795)."""
+    out_channels: int
+    A_init: np.ndarray
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
+    ratio: Optional[float] = 0.25
+    ctr: Optional[str] = "T"
+    ada: Optional[str] = "T"
+    node_attention: bool = False
+    edge_attention: bool = False
+    ada_attention: bool = False
+    target_specific: bool = False
+    add_type: bool = False
+    num_types: int = 5
+    edge_num: int = 15
+    subset_wise: bool = False
+    ada_act: str = "softmax"
+    ctr_act: str = "tanh"
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        K, V, _ = self.A_init.shape
+        n, t, v, c = x.shape
+        ratio = self.ratio if self.ratio is not None else 1.0 / K
+        mid = int(ratio * self.out_channels)
+        P, E = self.num_types, self.edge_num
+
+        if c != self.out_channels:
+            r = PointConv(self.out_channels, name="down_conv")(x)
+            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+        else:
+            res = x
+
+        A_param = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        A6 = A_param[None, :, None, None]
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (K,))
+
+        p = PointConv(mid * K, name="pre_conv")(x)
+        p = BatchNorm(name="pre_bn")(p, use_running_average=not train)
+        pre_x = jax.nn.relu(p).reshape(n, t, v, K, mid)
+
+        x1 = x2 = None
+        if self.ctr is not None or self.ada is not None:
+            tmp = x
+            if not (self.ctr == "NA" or self.ada == "NA"):
+                tmp = tmp.mean(axis=1, keepdims=True)
+            tq = tmp.shape[1]
+            feats = K * mid * (P if self.node_attention else 1)
+            x1 = PointConv(feats, name="conv1")(tmp)
+            x2 = PointConv(feats, name="conv2")(tmp)
+            if self.node_attention:
+                # view (n, K, mid, P, T', v) + per-joint type gather
+                # (gcn.py:1710-1713)
+                def gather(arr):
+                    a = arr.reshape(n, tq, v, K, mid, P)
+                    a = jnp.moveaxis(a, 2, -1)            # (n,tq,K,mid,P,V)
+                    a = _type_gather(a, self.node_type, type_axis=4)
+                    return jnp.transpose(a, (0, 2, 3, 1, 4))  # (n,K,mid,tq,V)
+                x1, x2 = gather(x1), gather(x2)
+            else:
+                x1 = jnp.transpose(x1.reshape(n, tq, v, K, mid),
+                                   (0, 3, 4, 1, 2))
+                x2 = jnp.transpose(x2.reshape(n, tq, v, K, mid),
+                                   (0, 3, 4, 1, 2))
+
+        if self.ctr is not None:
+            diff = x1[..., :, None] - x2[..., None, :]   # (n,K,mid,tq,V,V)
+            if self.edge_attention:
+                assert diff.shape[3] == 1
+                d2 = jnp.moveaxis(diff[:, :, :, 0].reshape(n, K * mid, V, V),
+                                  1, -1)                 # (n,V,V,K*mid)
+                es = PointConv(E * K * mid, name="edge_linears")(d2)
+                es = es.reshape(n, V, V, K, E, mid)
+                es = jnp.transpose(es, (0, 3, 5, 4, 1, 2))   # (n,K,mid,E,V,V)
+                ea = _edge_class_select(es, self.edge_type)  # (n,K,mid,V,V)
+                g = ea[:, :, :, None]
+                if self.add_type:
+                    g = diff + g
+            else:
+                g = diff
+            g = ACTS[self.ctr_act](g)
+            g = g * (alpha[None, :, None, None, None, None] if self.subset_wise
+                     else alpha[0])
+            A6 = g + A6
+
+        if self.ada is not None:
+            g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            g = g[:, :, None]
+            if self.ada_attention:
+                assert g.shape[3] == 1
+                gs = jnp.moveaxis(g[:, :, 0, 0], 1, -1)      # (n,V,V,K)
+                gs = PointConv(E * K, name="ada_linears")(gs)
+                gs = gs.reshape(n, V, V, K, E)
+                gs = jnp.transpose(gs, (0, 3, 4, 1, 2))
+                g = _edge_class_select(gs, self.edge_type)[:, :, None, None]
+            g = ACTS[self.ada_act](g)
+            g = g * (beta[None, :, None, None, None, None] if self.subset_wise
+                     else beta[0])
+            A6 = g + A6
+
+        y = _dispatch_contract(pre_x, A6, self.ctr, self.ada)
+        y = y.reshape(n, t, v, K * mid)
+        if self.target_specific:
+            # per-type output head gathered by joint type (gcn.py:1791-1795)
+            xn = PointConv(P * self.out_channels, name="nodeconv")(y)
+            xn = xn.reshape(n, t, v, P, self.out_channels)
+            xn = jnp.moveaxis(xn, 2, -1)                 # (n,t,P,out,V)
+            xn = _type_gather(xn, self.node_type, type_axis=2)
+            y = PointConv(self.out_channels, name="post_conv")(y) \
+                + jnp.moveaxis(xn, 2, -1)
+        else:
+            y = PointConv(self.out_channels, name="post_conv")(y)
+        y = BatchNorm(name="bn")(y, use_running_average=not train)
+        return jax.nn.relu(y + res)
+
+
 class DGPHGCN1(nn.Module):
     """The DS-GCN dynamic *semantic* spatial graph conv (reference dgphgcn1,
     gcn.py:2074-2365) — the paper's core op.

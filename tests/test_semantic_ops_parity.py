@@ -257,3 +257,57 @@ def test_unit_ctrhgcn(refops, g, edge_attention):
                       node_type=np.array(g.node_type), semantic_index=True,
                       node_attention=True, edge_attention=edge_attention)
     _compare(our, {"params": params, "batch_stats": stats}, ref, x)
+
+
+# ---------------------------------------------------------------------------
+# dghgcn
+# ---------------------------------------------------------------------------
+
+def _dghgcn_vars(ref):
+    params = {"A": jnp.asarray(tb.t2n(ref.A)),
+              "alpha": jnp.asarray(tb.t2n(ref.alpha)),
+              "beta": jnp.asarray(tb.t2n(ref.beta)),
+              "pre_conv": tb.dense_p(ref.pre[0]),
+              "pre_bn": tb.bn_p(ref.pre[1]),
+              "post_conv": tb.dense_p(ref.post),
+              "bn": tb.bn_p(ref.bn),
+              "down_conv": tb.dense_p(ref.down[0]),
+              "down_bn": tb.bn_p(ref.down[1]),
+              "conv1": tb.dense_p(ref.conv1),
+              "conv2": tb.dense_p(ref.conv2)}
+    stats = {"pre_bn": tb.bn_s(ref.pre[1]), "bn": tb.bn_s(ref.bn),
+             "down_bn": tb.bn_s(ref.down[1])}
+    if hasattr(ref, "edge_linears"):
+        params["edge_linears"] = tb.dense_p(ref.edge_linears)
+    if hasattr(ref, "ada_linears"):
+        params["ada_linears"] = tb.dense_p(ref.ada_linears)
+    if hasattr(ref, "nodeconv"):
+        params["nodeconv"] = tb.dense_p(ref.nodeconv)
+    return params, stats
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(node_attention=True),
+    dict(node_attention=True, edge_attention=True),
+    dict(node_attention=True, edge_attention=True, add_type=True),
+    dict(target_specific=True),
+    dict(ada_attention=True),
+    dict(node_attention=True, subset_wise=True),
+])
+def test_dghgcn(refops, g, kw):
+    from dsgcn_tpu.ops.gcn import DGHGCN
+    refgcn, _ = refops
+    import torch as _t
+    A = Graph(layout="nturgb+d", mode="random", seed=6).A.astype(np.float32)
+    ref = refgcn.dghgcn(16, 32, _t.tensor(A),
+                        _t.tensor(g.edge_type, dtype=_t.float32),
+                        _t.tensor(np.array(g.node_type)), **kw)
+    tb.randomize_all_bns(ref, RNG)
+    with _t.no_grad():
+        ref.alpha.copy_(_t.tensor(RNG.uniform(-0.5, 0.5, 3), dtype=_t.float32))
+        ref.beta.copy_(_t.tensor(RNG.uniform(-0.5, 0.5, 3), dtype=_t.float32))
+    params, stats = _dghgcn_vars(ref)
+    our = DGHGCN(32, A_init=A, edge_type=g.edge_type,
+                 node_type=np.array(g.node_type), **kw)
+    _compare(our, {"params": params, "batch_stats": stats}, ref, _x(c=16))
