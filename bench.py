@@ -79,6 +79,22 @@ def main():
     results["dsgcn_infer_fps_b1024_pallas"] = 1024 / _bench(
         fwd, (variables, x1k), iters=15)
 
+    # fused-kernel training throughput (custom VJP: pallas fwd, XLA bwd)
+    from dsgcn_tpu.core.train import TrainState as _TS
+    tx2, _ = make_optimizer(lr=0.1, total_steps=100)
+    st2 = _TS.create(model_pl.apply, variables["params"],
+                     variables.get("batch_stats", {}), tx2)
+    tb2 = dict(keypoint=x1k[:64],
+               label=jnp.asarray(rng.integers(0, 60, size=64)))
+    step2 = jax.jit(train_step)
+    st2, _ = step2(st2, tb2, jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        st2, m2 = step2(st2, tb2, jax.random.PRNGKey(0))
+    jax.block_until_ready(m2)
+    results["dsgcn_train_clips_per_sec_b64_pallas"] = 64 * 20 / (
+        time.perf_counter() - t0)
+
     # bf16 saturated inference for the flagship
     from dsgcn_tpu.models.recognizer import RecognizerGCN
     model, variables = variables_by_name["dsgcn"]

@@ -36,6 +36,31 @@ class RecognizerGCN(nn.Module):
         return self.backbone(keypoint, train=train)
 
 
+def extract_pooled_feat(model, variables, keypoint: Array,
+                        pool_opt: str = "nmtv",
+                        score_ext: bool = False) -> Array:
+    """Pooled backbone features / per-location class scores for analysis
+    (reference recognizergcn.py:53-107 feat_ext/score_ext).
+
+    keypoint: (N, M, T, V, C); pool_opt: subset of 'nmtv' dims to mean over
+    ('none' keeps all).  With score_ext, the classifier weights are applied
+    per location before pooling (recognizergcn.py:88-93).
+    """
+    feat = model.backbone.apply(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables.get("batch_stats", {}).get("backbone", {})},
+        keypoint, train=False)                       # (N, M, T', V, C')
+    dim_idx = dict(n=0, m=1, t=2, v=3)
+    if score_ext:
+        head_p = variables["params"]["head"]["fc_cls"]
+        feat = jnp.einsum("nmtvc,co->nmtvo", feat, head_p["kernel"]) \
+            + head_p["bias"]
+    if pool_opt != "none":
+        for d in pool_opt:
+            feat = feat.mean(axis=dim_idx[d], keepdims=True)
+    return feat
+
+
 def average_clip(cls_score: Array, mode: Optional[str] = "prob") -> Array:
     """Average class scores over clips: (N, nc, K) -> (N, K)
     (reference base.py:93-116)."""

@@ -92,3 +92,17 @@ def test_eval_step_runs():
         model.apply, state.params, state.batch_stats,
         jnp.zeros((2, 2, 16, 25, 3)))
     assert logits.shape == (2, N_CLASSES)
+
+
+def test_extract_pooled_feat():
+    from dsgcn_tpu.models.recognizer import extract_pooled_feat
+    model, state = _model_and_state("stgcn++")
+    x = jnp.zeros((2, 2, 16, 25, 3))
+    variables = {"params": {"backbone": state.params["backbone"],
+                            "head": state.params["head"]},
+                 "batch_stats": {"backbone": state.batch_stats["backbone"]}}
+    f = extract_pooled_feat(model, variables, x, pool_opt="tv")
+    assert f.shape == (2, 2, 1, 1, 256)
+    s = extract_pooled_feat(model, variables, x, pool_opt="nmtv",
+                            score_ext=True)
+    assert s.shape == (1, 1, 1, 1, N_CLASSES)
