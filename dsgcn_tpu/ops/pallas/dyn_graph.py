@@ -31,15 +31,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _graph_from_parts(x1, x2, A, alpha, beta):
-    """Plain-XLA graph construction (shared by VJP backward and the reference
-    path): returns ctr (K,Cm,V,V), ada (K,V,V) pre-gate."""
-    ctr = jnp.tanh(x1[..., :, None] - x2[..., None, :])
-    raw = jnp.einsum("kcv,kcw->kvw", x1, x2)
-    ada = jax.nn.softmax(raw, axis=-2)
-    return ctr, ada
-
-
 def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
             K: int, Cm: int, edge_w_ref=None, edge_b_ref=None,
             edge_sel_ref=None, edge_k: int = -1, edge_num: int = 15):

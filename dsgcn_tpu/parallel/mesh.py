@@ -30,6 +30,25 @@ def make_mesh(n_data: Optional[int] = None, n_graph: int = 1,
     return Mesh(dev, (DATA_AXIS, GRAPH_AXIS))
 
 
+def make_multihost_mesh(n_graph: int = 1) -> Mesh:
+    """Two-level mesh for multi-host slices: the data axis spans hosts so its
+    collectives (gradient psum) ride DCN only at the outer level, while the
+    graph axis stays inside a host's ICI domain (SURVEY §5.8 plan).
+
+    Call after jax.distributed.initialize(); falls back to :func:`make_mesh`
+    on a single process.
+    """
+    import jax.experimental.mesh_utils as mesh_utils
+    if jax.process_count() == 1:
+        return make_mesh(n_graph=n_graph)
+    total = len(jax.devices())
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(total // jax.process_count() // n_graph, n_graph),
+        dcn_mesh_shape=(jax.process_count(), 1),
+    )
+    return Mesh(devices, (DATA_AXIS, GRAPH_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim split over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

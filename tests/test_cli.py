@@ -1,0 +1,63 @@
+"""End-to-end CLI smoke: tools/train.py + tools/test.py + fuse_scores.py on
+synthetic data via subprocess (the full user-facing path)."""
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd, env=None):
+    e = dict(os.environ)
+    e["JAX_PLATFORMS"] = "cpu"
+    e["XLA_FLAGS"] = (e.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=4").strip()
+    if env:
+        e.update(env)
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=e,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-2000:]}"
+    return r
+
+
+@pytest.mark.slow
+def test_train_test_fuse_cli(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    _run(["tools/data/make_synthetic.py", str(data / "synth.pkl")], ROOT)
+
+    cfg = tmp_path / "smoke.py"
+    cfg.write_text(f"""
+_base_ = ['{ROOT}/configs/synthetic/smoke.py']
+ann_file = '{data}/synth.pkl'
+data = dict(
+    videos_per_gpu=16,
+    train=dict(ann_file=ann_file),
+    val=dict(ann_file=ann_file),
+    test=dict(ann_file=ann_file))
+total_epochs = 2
+""")
+    wd = tmp_path / "wd"
+    _run(["tools/train.py", str(cfg), "--work-dir", str(wd), "--validate",
+          "--total-epochs", "2"], ROOT)
+    assert (wd / "ckpt").exists()
+    logs = [f for f in os.listdir(wd) if f.endswith(".log.jsonl")]
+    assert logs
+    records = [json.loads(l) for l in open(wd / logs[0])]
+    assert any(r.get("mode") == "val" for r in records)
+
+    out = tmp_path / "scores.pkl"
+    r = _run(["tools/test.py", str(cfg), str(wd), "--out", str(out)], ROOT)
+    assert "top1_acc" in r.stdout
+    with open(out, "rb") as f:
+        d = pickle.load(f)
+    assert d["scores"].shape[1] == 10
+
+    r = _run(["tools/fuse_scores.py", str(out), str(out),
+              "--weights", "1", "1"], ROOT)
+    assert "top1_acc" in r.stdout
