@@ -30,7 +30,9 @@ class RecognizerGCN(nn.Module):
             keypoint = keypoint.astype(self.compute_dtype)
         feat = self.backbone(keypoint, train=train)
         logits = self.head(feat, train=train)
-        return logits.astype(jnp.float32)
+        if self.compute_dtype is not None:
+            logits = logits.astype(jnp.float32)
+        return logits
 
     def extract_feat(self, keypoint: Array, *, train: bool = False) -> Array:
         return self.backbone(keypoint, train=train)

@@ -22,6 +22,12 @@ from flax import linen as nn
 Array = jax.Array
 
 
+def accum_dtype(dtype):
+    """Matmul accumulation dtype: at least f32 (bf16 inputs accumulate in
+    f32 on the MXU); f64 inputs keep f64 (for float64 parity testing)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Initializers
 # ---------------------------------------------------------------------------
@@ -100,7 +106,7 @@ class PointConv(nn.Module):
         # mixed precision: compute in the activation dtype (bf16 matmuls on
         # the MXU when the model runs bf16), params stay fp32
         y = jnp.einsum("...i,io->...o", x, kernel.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+                       preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,))
             y = y + bias.astype(x.dtype)
@@ -157,11 +163,12 @@ class BatchNorm(nn.Module):
     def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        # BN statistics always in fp32; output cast back to the act dtype
+        # BN statistics in at least fp32 (bf16 activations are upcast; f64
+        # stays f64); output cast back to the act dtype
         y = nn.BatchNorm(
             use_running_average=ura, momentum=0.9, epsilon=1e-5,
             scale_init=self.scale_init, bias_init=self.bias_init,
-            name="bn")(x.astype(jnp.float32))
+            name="bn")(x.astype(accum_dtype(x.dtype)))
         return y.astype(x.dtype)
 
 

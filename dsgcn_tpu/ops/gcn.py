@@ -24,9 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .common import (Array, BatchNorm, PointConv, TemporalConv, bn_scale_init,
-                     branch_init, kaiming_normal_fan_out, torch_default_bias,
-                     torch_default_kernel)
+from .common import (Array, BatchNorm, PointConv, TemporalConv, accum_dtype,
+                     bn_scale_init, branch_init, kaiming_normal_fan_out,
+                     torch_default_bias, torch_default_kernel)
 
 ACTS = {
     "relu": jax.nn.relu,
@@ -109,11 +109,11 @@ class UnitGCN(nn.Module):
             y = y.reshape(n, t, v, K, self.out_channels)
             # reference: einsum('nkctv,kvw->nctw') (gcn.py:88)
             y = jnp.einsum("ntvkc,kvw->ntwc", y, A,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+                           preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
         else:
             # reference: einsum('nctv,kvw->nkctw') then 1x1 over K*C (gcn.py:90-92)
             y = jnp.einsum("ntvc,kvw->ntwkc", x, A,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+                           preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
             y = y.reshape(n, t, v, K * c)
             y = PointConv(self.out_channels, name="conv")(y)
 
@@ -180,11 +180,11 @@ class UnitAAGCN(nn.Module):
                               bias_init=nn.initializers.zeros_init())(x)
                 # reference gcn.py:429-431: tanh(A1 @ A2 / (R*T))
                 g = jnp.tanh(jnp.einsum("ntvc,ntwc->nvw", a, b,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=accum_dtype(x.dtype))
                              / (inter_c * t)).astype(x.dtype)
                 Ai = A[i] + g * alpha[0]
                 z = jnp.einsum("ntvc,nvw->ntwc", x, Ai,
-                               preferred_element_type=jnp.float32).astype(x.dtype)
+                               preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
                 z = PointConv(self.out_channels, name=f"conv_d{i}",
                               kernel_init=branch_init(K))(z)
                 y = z if y is None else y + z
@@ -192,7 +192,7 @@ class UnitAAGCN(nn.Module):
             A = jnp.asarray(self.A_init, jnp.float32)
             for i in range(K):
                 z = jnp.einsum("ntvc,vw->ntwc", x, A[i],
-                               preferred_element_type=jnp.float32).astype(x.dtype)
+                               preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
                 z = PointConv(self.out_channels, name=f"conv_d{i}",
                               kernel_init=branch_init(K))(z)
                 y = z if y is None else y + z
@@ -265,7 +265,7 @@ class UnitAAHGCN(nn.Module):
                                   kernel_init=kaiming_normal_fan_out(),
                                   bias_init=nn.initializers.zeros_init())(x)
                 g = jnp.tanh(jnp.einsum("ntvc,ntwc->nvw", a, b,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=accum_dtype(x.dtype))
                              / (inter_c * t)).astype(x.dtype)
                 if self.edge_att:
                     # expand to edge_num classes via a 1->E conv on the (V, V)
@@ -278,7 +278,7 @@ class UnitAAHGCN(nn.Module):
                     g = _edge_class_select(es, self.edge_type)  # (n,V,V)
                 Ai = A[i] + g * alpha[0]
                 z = jnp.einsum("ntvc,nvw->ntwc", x, Ai,
-                               preferred_element_type=jnp.float32).astype(x.dtype)
+                               preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
                 z = PointConv(self.out_channels, name=f"conv_d{i}",
                               kernel_init=branch_init(K))(z)
                 y = z if y is None else y + z
@@ -286,7 +286,7 @@ class UnitAAHGCN(nn.Module):
             A = jnp.asarray(self.A_init, jnp.float32)
             for i in range(K):
                 z = jnp.einsum("ntvc,vw->ntwc", x, A[i],
-                               preferred_element_type=jnp.float32).astype(x.dtype)
+                               preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
                 z = PointConv(self.out_channels, name=f"conv_d{i}",
                               kernel_init=branch_init(K))(z)
                 y = z if y is None else y + z
@@ -325,7 +325,7 @@ class CTRGC(nn.Module):
         g = g * alpha + (A[None, :, :, None] if A is not None else 0.0)
         # reference einsum('ncuv,nctu->nctv') (gcn.py:658)
         return jnp.einsum("nuwc,ntuc->ntwc", g, x3,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+                          preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
 
 
 class CTRHGC(nn.Module):
@@ -413,7 +413,7 @@ class CTRHGC(nn.Module):
 
         # reference einsum('ncuv,nctu->nctv') (gcn.py:768)
         return jnp.einsum("ncuw,ntuc->ntwc", G, x3,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+                          preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
 
 
 class UnitCTRHGCN(nn.Module):
@@ -573,7 +573,7 @@ class DGGCN(nn.Module):
         if self.ada is not None:
             # einsum('nkctv,nkctw->nktvw') (gcn.py:1551)
             g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+                           preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
             g = g[:, :, None]                              # (N,K,1,Tq,V,V)
             g = ACTS[self.ada_act](g)
             g = g * (beta[None, :, None, None, None, None] if self.subset_wise
@@ -596,23 +596,23 @@ def _dispatch_contract(pre_x: Array, A6: Array, ctr, ada) -> Array:
     if ctr is None and ada is None:
         A = A6[0, :, 0, 0]                                   # (K, V, V)
         return jnp.einsum("ntvkc,kvw->ntwkc", pre_x, A,
-                          preferred_element_type=jnp.float32).astype(pre_x.dtype)
+                          preferred_element_type=accum_dtype(pre_x.dtype)).astype(pre_x.dtype)
     cq, tq = A6.shape[2], A6.shape[3]
     if cq == 1 and tq == 1:
         A = A6[:, :, 0, 0]                                   # (N, K, V, V)
         out = jnp.einsum("ntvkc,nkvw->ntwkc", pre_x, A,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=accum_dtype(pre_x.dtype))
     elif cq == 1:
         A = A6[:, :, 0]                                      # (N, K, T, V, V)
         out = jnp.einsum("ntvkc,nktvw->ntwkc", pre_x, A,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=accum_dtype(pre_x.dtype))
     elif tq == 1:
         A = A6[:, :, :, 0]                                   # (N, K, C, V, V)
         out = jnp.einsum("ntvkc,nkcvw->ntwkc", pre_x, A,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=accum_dtype(pre_x.dtype))
     else:
         out = jnp.einsum("ntvkc,nkctvw->ntwkc", pre_x, A6,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=accum_dtype(pre_x.dtype))
     return out.astype(pre_x.dtype)
 
 
@@ -708,7 +708,7 @@ class DGHGCN(nn.Module):
 
         if self.ada is not None:
             g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+                           preferred_element_type=accum_dtype(pre_x.dtype)).astype(x.dtype)
             g = g[:, :, None]
             if self.ada_attention:
                 assert g.shape[3] == 1
@@ -919,7 +919,7 @@ class DGPHGCN1(nn.Module):
         # ---- ADA (outer-product) graph -------------------------------------
         if self.ada is not None:
             g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+                           preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
             g = g[:, :, None]                                  # (N,K,1,Tq,V,V)
             if self.ada_attention:
                 assert g.shape[3] == 1, "ada attention requires T-pooled graphs"

@@ -79,7 +79,7 @@ def ring_spatial_aggregate(x_shard: jnp.ndarray, A: jnp.ndarray,
         # start the transfer, then contract the chunk we already hold
         x_next = jax.lax.ppermute(x_cur, axis_name, perm)
         y = y + jnp.einsum("...vkc,kvw->...wc", x_cur, rows,
-                           preferred_element_type=jnp.float32).astype(y.dtype)
+                           preferred_element_type=jnp.promote_types(x_cur.dtype, jnp.float32)).astype(y.dtype)
         return (y, x_next)
 
     y0 = jnp.zeros(x_shard.shape[:-3] + (Vg, x_shard.shape[-1]),

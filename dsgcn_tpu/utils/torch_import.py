@@ -320,7 +320,9 @@ def import_state_dict(state_dict: Arrays,
     ``blocks_attr``: the backbone's ModuleList name ('gcn' for STGCN/AAGCN/
     DGSTGCN, 'net' for CTRGCN); CTRGCN uses gcn_attr='gcn1', tcn_attr='tcn1'.
     """
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # copy: torch .numpy() exports are views over live parameter memory — an
+    # in-place optimizer step on the torch side would silently mutate them
+    sd = {k: np.array(v) for k, v in state_dict.items()}
     root = _Scope(sd)
     bb = root.sub("backbone")
     params: Dict[str, Any] = {}

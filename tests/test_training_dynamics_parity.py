@@ -1,0 +1,154 @@
+"""Training-dynamics parity: from identical weights and batches, N steps of
+our jitted train path must produce the same parameter updates as torch
+(backbone -> GCN pooling -> linear head -> CE loss -> SGD nesterov + coupled
+weight decay).  This is the strongest accuracy-parity proxy available without
+the NTU data: it exercises forward, backward, BN batch-stat semantics, loss,
+and the full optimizer chain end-to-end.
+
+Both sides run in float64: at torch-default init the loss landscape is chaotic
+(gradient norms ~50x parameter norms through the untrained BN stacks), so fp32
+rounding noise amplifies ~10x per step and would swamp the comparison; in f64
+a correct implementation tracks to ~1e-9 while any recipe error still shows at
+the percent level."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import ref_loader
+import torch_bridge as tb
+from dsgcn_tpu.core.train import TrainState, make_optimizer, train_step
+from dsgcn_tpu.models.builder import build_backbone, build_named_model, model_cfg
+from dsgcn_tpu.utils.torch_import import import_state_dict
+
+RNG = np.random.default_rng(23)
+N_CLASSES = 7
+LR, MOM, WD = 0.01, 0.9, 5e-4
+
+
+class TorchRecognizer(torch.nn.Module):
+    """Reference-equivalent recognizer: backbone + GCN pooling + fc + CE
+    (recognizergcn.py:20-51, simple_head.py:83-96, GCNHead dropout=0)."""
+
+    def __init__(self, backbone, in_c=256):
+        super().__init__()
+        self.backbone = backbone
+        self.fc = torch.nn.Linear(in_c, N_CLASSES)
+
+    def forward(self, x):
+        f = self.backbone(x)                       # (N, M, C, T, V)
+        f = f.mean(dim=(3, 4)).mean(dim=1)         # pool T,V then persons
+        return self.fc(f)
+
+
+@pytest.mark.parametrize("name", ["stgcn++", "dsgcn"])
+def test_sgd_updates_match_torch(name):
+    # The reference STGCN hard-casts inputs to float32 (stgcn.py:142), so the
+    # torch side cannot run in double for stgcn++: use a single-step f32 check
+    # there; DGSTGCN has no such cast, so the flagship gets the tight 3-step
+    # float64 trajectory comparison.
+    f64 = name != "stgcn++"
+    if f64:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        _run_dynamics(name, f64)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _run_dynamics(name, f64):
+    refbb = ref_loader.load_ref_backbones()
+    if name == "stgcn++":
+        ref_backbone = refbb["stgcn"].STGCN(
+            graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+            gcn_adaptive="init", gcn_with_res=True, tcn_type="mstcn")
+    else:
+        ref_backbone = refbb["dgstgcn"].DGSTGCN(
+            graph_cfg=dict(layout="nturgb+d", mode="random", num_filter=3,
+                           init_off=0.04, init_std=0.02),
+            gcn_type="dgphgcn1", gcn_ratio=0.125, gcn_node_attention=True,
+            gcn_edge_attention=True, gcn_decompose=True, gcn_subset_wise=True,
+            gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn")
+    tmodel = TorchRecognizer(ref_backbone)
+    if f64:
+        tmodel = tmodel.double()
+    # non-zero dynamic-graph gates so those paths train
+    with torch.no_grad():
+        for p in tmodel.backbone.parameters():
+            if p.ndim == 1 and p.shape[0] == 3:
+                p.copy_(torch.tensor(RNG.uniform(-0.3, 0.3, 3),
+                                     dtype=torch.float32))
+
+    # ---- import identical weights into our model ----
+    sd = {f"backbone.{k}": v.numpy()
+          for k, v in tmodel.backbone.state_dict().items()}
+    sd["cls_head.fc_cls.weight"] = tmodel.fc.weight.detach().numpy()
+    sd["cls_head.fc_cls.bias"] = tmodel.fc.bias.detach().numpy()
+    variables = import_state_dict(sd)
+
+    jmodel = build_named_model(name, num_classes=N_CLASSES)
+    tx, _ = make_optimizer(lr=LR, momentum=MOM, weight_decay=WD,
+                           total_steps=1000, schedule="constant")
+    state = TrainState.create(jmodel.apply, variables["params"],
+                              variables["batch_stats"], tx)
+
+    # ---- identical batches, identical SGD recipe ----
+    topt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOM,
+                           weight_decay=WD, nesterov=True)
+    init_params = jax.tree.map(np.asarray, state.params)
+    step = jax.jit(train_step)
+    n, m, t = 4, 2, 16
+    n_steps = 3 if f64 else 1
+    for i in range(n_steps):
+        x = RNG.standard_normal((n, m, t, 25, 3))
+        if not f64:
+            x = x.astype(np.float32)
+        y = RNG.integers(0, N_CLASSES, size=n)
+        tmodel.train()
+        logits = tmodel(torch.tensor(np.ascontiguousarray(x)))
+        loss_t = torch.nn.functional.cross_entropy(
+            logits, torch.tensor(y, dtype=torch.long))
+        topt.zero_grad()
+        loss_t.backward()
+        topt.step()
+
+        batch = dict(keypoint=jnp.asarray(x), label=jnp.asarray(y))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        loss_tol = (1e-8 if f64 else 1e-4) * max(1.0, abs(float(loss_t))) \
+            * 10 ** i
+        assert abs(float(metrics["loss"]) - float(loss_t)) < loss_tol, \
+            (i, float(metrics["loss"]), float(loss_t))
+
+    # ---- compare updated parameters ----
+    sd2 = {f"backbone.{k}": v.detach().numpy()
+           for k, v in tmodel.backbone.state_dict().items()}
+    sd2["cls_head.fc_cls.weight"] = tmodel.fc.weight.detach().numpy()
+    sd2["cls_head.fc_cls.bias"] = tmodel.fc.bias.detach().numpy()
+    want = import_state_dict(sd2)
+
+    flat_got = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+                jax.tree_util.tree_leaves_with_path(state.params)}
+    flat_want = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+                 jax.tree_util.tree_leaves_with_path(want["params"])}
+    flat_init = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+                 jax.tree_util.tree_leaves_with_path(init_params)}
+    assert set(flat_got) == set(flat_want)
+    # compare the accumulated UPDATES (robust to pointwise fp32 noise; a wrong
+    # recipe changes direction/magnitude of the whole update vector)
+    for k in flat_want:
+        du_got = (flat_got[k] - flat_init[k]).ravel()
+        du_want = (flat_want[k] - flat_init[k]).ravel()
+        n_w = np.linalg.norm(du_want)
+        if n_w < 1e-12:
+            assert np.linalg.norm(du_got) < 1e-10, k
+            continue
+        cos = float(du_got @ du_want / (np.linalg.norm(du_got) * n_w + 1e-30))
+        ratio = float(np.linalg.norm(du_got) / n_w)
+        if f64:
+            assert cos > 1 - 1e-8, (k, cos)
+            assert abs(ratio - 1) < 1e-5, (k, ratio)
+        else:
+            assert cos > 0.995, (k, cos)
+            assert abs(ratio - 1) < 0.03, (k, ratio)
