@@ -1,0 +1,71 @@
+"""Model-zoo inference FPS table — the TPU analog of the reference's
+examples/inference_speed.ipynb (batch 16, M=2 persons, T=100, V=25, fp32).
+
+Prints a markdown table with the reference's published GPU numbers
+(BASELINE.md) alongside ours for direct comparison, plus saturated-batch
+throughput per model.
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+REFERENCE_FPS_2080TI = {  # BASELINE.md / examples/inference_speed.ipynb
+    "aagcn": 274, "ctrgcn": 353, "dgstgcn": 409, "msg3d": 111,
+    "stgcn": 518, "stgcn++": 476,
+}
+
+
+def _bench(fn, args, iters=30, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dsgcn_tpu.models.builder import build_named_model
+
+    rng = np.random.default_rng(0)
+    x16 = jnp.asarray(rng.standard_normal((16, 2, 100, 25, 3)).astype(np.float32))
+    sat = {"stgcn": 512, "stgcn++": 512, "aagcn": 256, "ctrgcn": 256,
+           "dgstgcn": 256, "dsgcn": 512, "msg3d": 64, "sgn": 512}
+
+    rows = []
+    for name in ("stgcn", "stgcn++", "aagcn", "ctrgcn", "dgstgcn", "dsgcn",
+                 "msg3d", "sgn"):
+        t = 30 if name == "sgn" else 100
+        xa = x16[:, :, :t] if t != 100 else x16
+        model = build_named_model(name, num_classes=60)
+        variables = model.init(jax.random.PRNGKey(0), xa[:2], train=False)
+        fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False))
+        fps16 = 16 / _bench(fwd, (variables, xa))
+        sb = sat[name]
+        xb = jnp.asarray(rng.standard_normal(
+            (sb, 2, t, 25, 3)).astype(np.float32))
+        fps_sat = sb / _bench(fwd, (variables, xb), iters=10)
+        ref = REFERENCE_FPS_2080TI.get(name)
+        rows.append((name, fps16, fps_sat, sb, ref))
+        print(f"{name:10s} b16 {fps16:10.0f}/s   b{sb} {fps_sat:10.0f}/s  "
+              + (f"ref(2080Ti) {ref}/s  speedup {fps16 / ref:.0f}x" if ref
+                 else "(no reference number)"), flush=True)
+
+    print("\n| model | TPU v5e b16 fps | TPU v5e saturated fps | RTX 2080Ti fps | b16 speedup |")
+    print("|---|---|---|---|---|")
+    for name, fps16, fps_sat, sb, ref in rows:
+        refs = f"{ref}" if ref else "—"
+        spd = f"{fps16 / ref:.0f}x" if ref else "—"
+        print(f"| {name} | {fps16:.0f} | {fps_sat:.0f} (b{sb}) | {refs} | {spd} |")
+
+
+if __name__ == "__main__":
+    main()

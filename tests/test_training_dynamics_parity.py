@@ -59,6 +59,7 @@ def test_sgd_updates_match_torch(name):
 
 
 def _run_dynamics(name, f64):
+    torch.manual_seed(0)   # deterministic torch-side init (tolerances are tight)
     refbb = ref_loader.load_ref_backbones()
     if name == "stgcn++":
         ref_backbone = refbb["stgcn"].STGCN(
