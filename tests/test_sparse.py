@@ -87,3 +87,54 @@ def test_group_lasso_penalty_positive():
     params = layer.init(jax.random.PRNGKey(0), x, 0.5)["params"]
     p = group_lasso_penalty(params, weight=1e-2)
     assert float(p) > 0
+
+
+def test_sparse_stgcn_trains_with_ramp():
+    """End-to-end sparse training: sparsity ramps per epoch, loss decreases,
+    masks prune the requested fraction."""
+    import optax
+    from dsgcn_tpu.sparse.models import SparseSTGCN
+    from dsgcn_tpu.sparse.supermask import supermask
+
+    model = SparseSTGCN(num_stages=4, inflate_stages=(3,), down_stages=(3,),
+                        target_sparsity=0.6)
+    x = jnp.asarray(RNG.standard_normal((4, 2, 8, 25, 3)).astype(np.float32))
+    y = jnp.asarray(RNG.integers(0, 5, 4))
+    variables = model.init(jax.random.PRNGKey(0), x, 0.0, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    head_w = jnp.zeros((128, 5))
+
+    def loss_fn(p, hw, sparsity):
+        feat, muts = model.apply({"params": p, "batch_stats": stats}, x,
+                                 sparsity, train=True,
+                                 mutable=["batch_stats"])
+        logits = feat.mean(axis=(1, 2, 3)) @ hw
+        one_hot = jax.nn.one_hot(y, 5)
+        return -(jax.nn.log_softmax(logits) * one_hot).sum(1).mean()
+
+    tx = optax.sgd(0.05, momentum=0.9)
+    opt_state = tx.init((params, head_w))
+    step = jax.jit(lambda p, hw, o, s: _sparse_step(model, tx, p, hw, o, s,
+                                                    loss_fn))
+    losses = []
+    total_epochs = 6
+    for epoch in range(total_epochs):
+        s = model.epoch_sparsity(epoch, total_epochs)
+        (params, head_w), opt_state, l = step(params, head_w, opt_state,
+                                              jnp.float32(s))
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
+    # final masks prune ~target fraction on a sparse layer
+    score = params["block0"]["gcn"]["conv"]["score"]
+    m = supermask(score, model.epoch_sparsity(total_epochs, total_epochs))
+    assert abs(float(m.mean()) - (1 - 0.6)) < 0.05
+
+
+def _sparse_step(model, tx, params, head_w, opt_state, sparsity, loss_fn):
+    import optax
+    (l, grads) = jax.value_and_grad(
+        lambda pw: loss_fn(pw[0], pw[1], sparsity))((params, head_w))
+    updates, opt_state = tx.update(grads, opt_state, (params, head_w))
+    params, head_w = optax.apply_updates((params, head_w), updates)
+    return (params, head_w), opt_state, l
