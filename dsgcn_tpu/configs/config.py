@@ -13,7 +13,7 @@ import copy
 import json
 import os
 import types
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 RESERVED = {"_base_", "__builtins__"}
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import copy as cp
 import pickle
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -239,3 +239,39 @@ def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
         with open(path, "wb") as f:
             pickle.dump(data, f)
     return data
+
+
+class VideoDataset:
+    """Text-annotation dataset: one "<filename> <label>" per line (reference
+    datasets/video_dataset.py:9).  Samples carry the filename for a video
+    decoder pipeline; without the RGB branch this serves label bookkeeping
+    and pipelines that load their own data from the filename."""
+
+    def __init__(self, ann_file: str, pipeline, data_prefix: str = "",
+                 test_mode: bool = False):
+        self.pipeline = (pipeline if isinstance(pipeline, Compose)
+                         else build_pipeline(pipeline))
+        self.test_mode = test_mode
+        self.video_infos = []
+        with open(ann_file) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                name, label = line.rsplit(maxsplit=1)
+                self.video_infos.append(dict(
+                    filename=data_prefix + name, label=int(label)))
+
+    def __len__(self):
+        return len(self.video_infos)
+
+    def prepare(self, idx, rng=None):
+        results = cp.deepcopy(self.video_infos[idx])
+        results["test_mode"] = self.test_mode
+        results.setdefault("start_index", 0)
+        return self.pipeline(results, rng=rng)
+
+    __getitem__ = prepare
+
+    @property
+    def labels(self):
+        return np.array([a["label"] for a in self.video_infos])

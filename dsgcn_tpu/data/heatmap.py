@@ -8,7 +8,7 @@ Output layout is channels-last ``imgs: (T, H, W, C)`` ready for the NDHWC
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -9,7 +9,7 @@ never exist).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -14,7 +14,7 @@ formatting.py), re-implemented with explicit RNG state:
 from __future__ import annotations
 
 import copy as cp
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

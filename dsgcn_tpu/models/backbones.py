@@ -13,7 +13,7 @@ is a tuple of length ``num_stages`` is split across stages (stgcn.py:101-104);
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

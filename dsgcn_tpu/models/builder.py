@@ -7,13 +7,13 @@ matching the in-tree reference configs cited below.
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from flax.core import FrozenDict
 
 from ..graph import GraphConfig
 from .backbones import AAGCN, CTRGCN, DGSTGCN, STGCN
-from .cnns import RecognizerPoseC3D, ResNet3d, ResNet3dSlowOnly
+from .cnns import C3D, RecognizerPoseC3D, ResNet3d, ResNet3dSlowOnly
 from .heads import GCNHead
 from .msg3d_sgn import MSG3D, SGN
 from .recognizer import RecognizerGCN
@@ -27,6 +27,7 @@ BACKBONES = {
     "SGN": SGN,
     "ResNet3d": ResNet3d,
     "ResNet3dSlowOnly": ResNet3dSlowOnly,
+    "C3D": C3D,
 }
 
 HEADS = {
@@ -44,7 +45,7 @@ def build_backbone(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
     typ = cfg.pop("type")
     cls = BACKBONES[typ]
-    if typ in ("MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly"):
+    if typ in ("MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly", "C3D"):
         # plain-field backbones, no block_args routing
         if "graph_cfg" in cfg:
             gc = cfg.pop("graph_cfg")

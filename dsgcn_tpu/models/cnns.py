@@ -8,7 +8,7 @@ posec3d configs).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +188,39 @@ def posec3d_slowonly(**kw) -> ResNet3dSlowOnly:
                     spatial_strides=(2, 2, 2), temporal_strides=(1, 1, 2))
     defaults.update(kw)
     return ResNet3dSlowOnly(**defaults)
+
+
+class C3D(nn.Module):
+    """C3D backbone (reference cnns/c3d.py:11-95): 3x3x3 conv stacks with
+    average pools; used for heatmap-volume PoseC3D variants."""
+    in_channels: int = 3
+    base_channels: int = 64
+    num_stages: int = 4
+    temporal_downsample: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        assert self.num_stages in (3, 4)
+        b = self.base_channels
+        pk = (2, 2, 2) if self.temporal_downsample else (1, 2, 2)
+
+        def conv(f, name):
+            return lambda h: ConvBN3d(f, (3, 3, 3), name=name)(h, train=train)
+
+        x = conv(b, "conv1a")(x)
+        x = nn.avg_pool(x, (1, 2, 2), strides=(1, 2, 2))
+        x = conv(b * 2, "conv2a")(x)
+        x = nn.avg_pool(x, pk, strides=pk)
+        x = conv(b * 4, "conv3a")(x)
+        x = conv(b * 4, "conv3b")(x)
+        x = nn.avg_pool(x, pk, strides=pk)
+        x = conv(b * 8, "conv4a")(x)
+        x = conv(b * 8, "conv4b")(x)
+        if self.num_stages == 4:
+            x = nn.avg_pool(x, pk, strides=pk)
+            x = conv(b * 8, "conv5a")(x)
+            x = conv(b * 8, "conv5b")(x)
+        return x
 
 
 class RecognizerPoseC3D(nn.Module):

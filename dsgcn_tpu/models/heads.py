@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 import math
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,7 @@
 """MS-G3D and SGN backbones (reference msg3d.py:11-79, sgn.py:10-102)."""
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ readouts).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+
 
 import jax
 import jax.numpy as jnp

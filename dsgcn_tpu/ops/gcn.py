@@ -17,7 +17,7 @@ Key reformulations for XLA/TPU:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -580,6 +580,7 @@ class DGGCN(nn.Module):
                      else beta[0])
             A6 = g + A6
 
+        self.sow("intermediates", "dynamic_graph", A6)
         y = _dispatch_contract(pre_x, A6, self.ctr, self.ada)
         y = y.reshape(n, t, v, K * mid)
         y = PointConv(self.out_channels, name="post_conv")(y)
@@ -722,6 +723,7 @@ class DGHGCN(nn.Module):
                      else beta[0])
             A6 = g + A6
 
+        self.sow("intermediates", "dynamic_graph", A6)
         y = _dispatch_contract(pre_x, A6, self.ctr, self.ada)
         y = y.reshape(n, t, v, K * mid)
         if self.target_specific:
@@ -934,6 +936,7 @@ class DGPHGCN1(nn.Module):
             g = g * _gate(beta, K, sem, norm, subset_wise)
             A6 = g + A6
 
+        self.sow("intermediates", "dynamic_graph", A6)
         y = _dispatch_contract(pre_x, A6, self.ctr, self.ada)
         y = y.reshape(n, t, v, K * mid)
         y = PointConv(self.out_channels, name="post_conv")(y)

@@ -8,7 +8,7 @@ einsum batched over (N, T).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +16,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..graph import k_adjacency, normalize_digraph
-from .common import Array, BatchNorm, PointConv, kaiming_normal_fan_out
+from .common import Array, BatchNorm, PointConv
 
 
 def multi_scale_adjacency(A: np.ndarray, num_scales: int) -> np.ndarray:

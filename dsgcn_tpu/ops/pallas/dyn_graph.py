@@ -22,7 +22,7 @@ in plain XLA for the backward pass, so training works transparently.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,8 @@ features and zero adjacency, so results are exact).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+
+
 
 import jax
 import jax.numpy as jnp

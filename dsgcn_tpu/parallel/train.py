@@ -8,8 +8,8 @@ Implementation: ``jax.shard_map`` over the ``data`` mesh axis with explicit
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Mapping, Optional, Tuple
+
+
 
 import jax
 import jax.numpy as jnp

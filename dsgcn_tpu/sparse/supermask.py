@@ -13,8 +13,8 @@ recompilation per epoch.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ No torch dependency: pass any mapping of numpy arrays (e.g.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 

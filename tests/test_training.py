@@ -106,3 +106,15 @@ def test_extract_pooled_feat():
     s = extract_pooled_feat(model, variables, x, pool_opt="nmtv",
                             score_ext=True)
     assert s.shape == (1, 1, 1, 1, N_CLASSES)
+
+
+def test_extract_dynamic_graphs():
+    from dsgcn_tpu.utils.analysis import extract_dynamic_graphs
+    model, state = _model_and_state("dsgcn", t=8)
+    x = jnp.zeros((1, 2, 8, 25, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    logits, graphs = extract_dynamic_graphs(model, variables, x)
+    assert logits.shape == (1, N_CLASSES)
+    assert len(graphs) == 10          # one dynamic graph per DG block
+    g0 = next(iter(graphs.values()))
+    assert g0.shape[-2:] == (25, 25)  # (N, K, Cq, Tq, V, V)
