@@ -13,8 +13,10 @@ from flax.core import FrozenDict
 
 from ..graph import GraphConfig
 from .backbones import AAGCN, CTRGCN, DGSTGCN, STGCN
-from .cnns import C3D, RecognizerPoseC3D, ResNet3d, ResNet3dSlowOnly
-from .heads import GCNHead
+from .cnns import (C3D, PoTion, RecognizerPoseC3D, ResNet3d, ResNet3dSlowFast,
+                   ResNet3dSlowOnly, RGBPoseConv3D, X3D)
+from .heads import (ClsHead, GCHead, GCNHead, HGTHead, RGBPoseHead,
+                    SimpleHead3D, TSNHead)
 from .msg3d_sgn import MSG3D, SGN
 from .recognizer import RecognizerGCN
 
@@ -27,11 +29,28 @@ BACKBONES = {
     "SGN": SGN,
     "ResNet3d": ResNet3d,
     "ResNet3dSlowOnly": ResNet3dSlowOnly,
+    "ResNet3dSlowFast": ResNet3dSlowFast,
+    "X3D": X3D,
     "C3D": C3D,
+    "PoTion": PoTion,
+    "RGBPoseConv3D": RGBPoseConv3D,
 }
+
+# backbones configured by plain dataclass fields (no gcn_/tcn_ stage routing)
+_PLAIN_BACKBONES = ("MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly",
+                    "ResNet3dSlowFast", "X3D", "C3D", "PoTion",
+                    "RGBPoseConv3D")
 
 HEADS = {
     "GCNHead": GCNHead,
+    "SimpleHead": SimpleHead3D,
+    "I3DHead": SimpleHead3D,
+    "SlowFastHead": SimpleHead3D,
+    "TSNHead": TSNHead,
+    "HGTHead": HGTHead,
+    "ClsHead": ClsHead,
+    "GCHead": GCHead,
+    "RGBPoseHead": RGBPoseHead,
 }
 
 _BACKBONE_FIELDS = {
@@ -45,15 +64,16 @@ def build_backbone(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
     typ = cfg.pop("type")
     cls = BACKBONES[typ]
-    if typ in ("MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly", "C3D"):
+    if typ in _PLAIN_BACKBONES:
         # plain-field backbones, no block_args routing
         if "graph_cfg" in cfg:
             gc = cfg.pop("graph_cfg")
             cfg["graph_cfg"] = gc if isinstance(gc, GraphConfig) \
                 else GraphConfig(**gc)
         for k in ("stage_blocks", "conv1_stride", "pool1_stride", "inflate",
-                  "spatial_strides", "temporal_strides", "conv1_kernel"):
-            if k in cfg:
+                  "spatial_strides", "temporal_strides", "conv1_kernel",
+                  "channels", "num_layers", "lateral_activate"):
+            if k in cfg and cfg[k] is not None:
                 cfg[k] = tuple(cfg[k])
         return cls(**cfg)
     gc = cfg.pop("graph_cfg")
@@ -71,6 +91,9 @@ def build_backbone(cfg: Dict[str, Any]):
 def build_head(cfg: Dict[str, Any]):
     cfg = copy.deepcopy(dict(cfg))
     typ = cfg.pop("type")
+    cfg.pop("mode", None)  # SimpleHead mode is chosen by class in HEADS
+    if isinstance(cfg.get("in_channels"), list):
+        cfg["in_channels"] = tuple(cfg["in_channels"])
     return HEADS[typ](**cfg)
 
 

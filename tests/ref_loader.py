@@ -19,6 +19,11 @@ def _ensure_stub_module(name, **attrs):
         mod = sys.modules[name]
     else:
         mod = types.ModuleType(name)
+        # a real ModuleSpec: importlib.util.find_spec raises ValueError on
+        # in-sys.modules modules with __spec__=None (torch dynamo trace_rules
+        # probes e.g. 'sklearn' this way when building a torch optimizer)
+        import importlib.machinery
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
     for k, v in attrs.items():
         setattr(mod, k, v)
@@ -52,18 +57,81 @@ def _install_stubs():
         if hasattr(module, "bias") and module.bias is not None:
             nn.init.constant_(module.bias, bias)
 
+    class Swish(nn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(x)
+
+    class ConvModule(nn.Module):
+        """Functional mmcv ConvModule: conv -> (bn) -> (act), bias='auto'."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias="auto",
+                     conv_cfg=None, norm_cfg=None, act_cfg=dict(type="ReLU"),
+                     **kw):
+            super().__init__()
+            ctype = (conv_cfg or {}).get("type", "Conv2d")
+            Conv = {"Conv": nn.Conv2d, "Conv2d": nn.Conv2d,
+                    "Conv3d": nn.Conv3d, "Conv1d": nn.Conv1d}[ctype]
+            if bias == "auto":
+                bias = norm_cfg is None
+            self.conv = Conv(in_channels, out_channels, kernel_size,
+                             stride=stride, padding=padding,
+                             dilation=dilation, groups=groups, bias=bias)
+            self.with_norm = norm_cfg is not None
+            if self.with_norm:
+                ntype = norm_cfg.get("type", "BN")
+                BN = {"BN": nn.BatchNorm2d, "BN1d": nn.BatchNorm1d,
+                      "BN2d": nn.BatchNorm2d, "BN3d": nn.BatchNorm3d}[ntype]
+                self.bn = BN(out_channels)
+            self.with_activation = act_cfg is not None
+            if self.with_activation:
+                atype = act_cfg.get("type", "ReLU")
+                self.activate = {"ReLU": nn.ReLU, "Swish": Swish,
+                                 "Tanh": nn.Tanh,
+                                 "Sigmoid": nn.Sigmoid}[atype]()
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.with_norm:
+                x = self.bn(x)
+            if self.with_activation:
+                x = self.activate(x)
+            return x
+
+    def kaiming_init(module, a=0, mode="fan_out", nonlinearity="relu",
+                     bias=0, distribution="normal"):
+        if distribution == "normal":
+            nn.init.kaiming_normal_(module.weight, a=a, mode=mode,
+                                    nonlinearity=nonlinearity)
+        else:
+            nn.init.kaiming_uniform_(module.weight, a=a, mode=mode,
+                                     nonlinearity=nonlinearity)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def constant_init(module, val, bias=0):
+        if hasattr(module, "weight") and module.weight is not None:
+            nn.init.constant_(module.weight, val)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
     mmcv_cnn = _ensure_stub_module(
         "mmcv.cnn",
         build_norm_layer=build_norm_layer,
         build_activation_layer=build_activation_layer,
         normal_init=normal_init,
+        ConvModule=ConvModule,
+        Swish=Swish,
+        kaiming_init=kaiming_init,
+        constant_init=constant_init,
     )
     mmcv = _ensure_stub_module("mmcv", cnn=mmcv_cnn, __version__="1.9.9-stub")
 
     def load_checkpoint(*a, **k):
         raise NotImplementedError("stub")
 
-    _ensure_stub_module("mmcv.runner", load_checkpoint=load_checkpoint)
+    _ensure_stub_module("mmcv.runner", load_checkpoint=load_checkpoint,
+                        _load_checkpoint=load_checkpoint)
     from torch.nn.modules.batchnorm import _BatchNorm
 
     def build_from_cfg(cfg, registry, default_args=None):
@@ -76,7 +144,8 @@ def _install_stubs():
             self.data = data
 
     _ensure_stub_module("mmcv.utils", Registry=object, _BatchNorm=_BatchNorm,
-                        build_from_cfg=build_from_cfg)
+                        build_from_cfg=build_from_cfg,
+                        print_log=lambda msg, logger=None: None)
     _ensure_stub_module("mmcv.parallel", DataContainer=DataContainer)
     _ensure_stub_module("mmcv", load=None, dump=None)
     return mmcv
@@ -181,3 +250,47 @@ def load_ref_pipelines():
     formatting = importlib.import_module("refds.pipelines.formatting")
     return dict(compose=compose, pose_related=pose_related, sampling=sampling,
                 formatting=formatting)
+
+
+def load_ref_cnns():
+    """Import reference 3D-CNN backbones (resnet3d, slowonly, slowfast, x3d,
+    c3d, potion, rgbposeconv3d) against the functional ConvModule stub."""
+    load_ref_backbones()   # sets up refpyskl package + utils
+    import logging
+    utils_pkg = sys.modules["refpyskl.utils"]
+    utils_pkg.get_root_logger = lambda *a, **k: logging.getLogger("ref")
+    _ensure_pkg("refpyskl.models.cnns", f"{REF}/pyskl/models/cnns")
+    mods = {}
+    for name in ("resnet3d", "resnet3d_slowonly", "resnet3d_slowfast", "x3d",
+                 "c3d", "potion", "rgbposeconv3d"):
+        mods[name] = importlib.import_module(f"refpyskl.models.cnns.{name}")
+    return mods
+
+
+def load_ref_heads():
+    """Import reference heads (simple_head incl. HGT/TSN/GC, rgbpose_head).
+
+    gread.py pulls torch_geometric/torch_scatter (not installed) — stubbed to
+    importable names; simple_head only references them for graph-batch heads
+    we don't exercise numerically.
+    """
+    load_ref_backbones()
+    import torch
+    _ensure_stub_module("torch_geometric")
+    _ensure_stub_module("torch_geometric.utils", to_dense_batch=None)
+    _ensure_stub_module("torch_geometric.utils.num_nodes",
+                        maybe_num_nodes=None)
+    _ensure_stub_module("torch_geometric.nn")
+    _ensure_stub_module("torch_geometric.nn.inits", reset=None)
+    _ensure_stub_module("torch_scatter", scatter=None, scatter_add=None,
+                        scatter_max=None)
+    core = _ensure_stub_module("refpyskl.core",
+                               top_k_accuracy=lambda *a, **k: [0.0])
+    core.__package__ = "refpyskl"
+    import torch.nn as nn
+    builder = sys.modules["refpyskl.models.builder"]
+    builder.build_loss = lambda cfg: nn.CrossEntropyLoss()
+    _ensure_pkg("refpyskl.models.heads", f"{REF}/pyskl/models/heads")
+    simple = importlib.import_module("refpyskl.models.heads.simple_head")
+    rgbpose = importlib.import_module("refpyskl.models.heads.rgbpose_head")
+    return dict(simple_head=simple, rgbpose_head=rgbpose)

@@ -259,3 +259,38 @@ def to_nctv(x_ntvc):
 
 def from_nctv(y):
     return np.transpose(t2n(y), (0, 2, 3, 1))
+
+
+def conv3d_p(conv):
+    """torch Conv3d (O,I,kt,kh,kw) -> flax NDHWC kernel (kt,kh,kw,I,O)."""
+    p = {"kernel": jnp.asarray(np.transpose(t2n(conv.weight), (2, 3, 4, 1, 0)))}
+    if conv.bias is not None:
+        p["bias"] = jnp.asarray(t2n(conv.bias))
+    return p
+
+
+def conv2d_p(conv):
+    """torch Conv2d (O,I,kh,kw) -> flax NHWC kernel (kh,kw,I,O)."""
+    p = {"kernel": jnp.asarray(np.transpose(t2n(conv.weight), (2, 3, 1, 0)))}
+    if conv.bias is not None:
+        p["bias"] = jnp.asarray(t2n(conv.bias))
+    return p
+
+
+def convbn3d_vars(cm):
+    """mmcv-style ConvModule (conv+bn) -> our ConvBN3d params/stats."""
+    params = {"conv": conv3d_p(cm.conv)}
+    stats = {}
+    if getattr(cm, "with_norm", False):
+        params["bn"] = plain_bn_p(cm.bn)
+        stats["bn"] = plain_bn_s(cm.bn)
+    return params, stats
+
+
+def convbn2d_vars(cm):
+    params = {"conv": conv2d_p(cm.conv)}
+    stats = {}
+    if getattr(cm, "with_norm", False):
+        params["bn"] = plain_bn_p(cm.bn)
+        stats["bn"] = plain_bn_s(cm.bn)
+    return params, stats
