@@ -26,7 +26,14 @@ def init_recognizer(config, work_dir: Optional[str] = None,
 
     cfg = config if isinstance(config, (dict, Config)) else Config.fromfile(config)
     model = build_model(cfg["model"])
-    sample = jnp.zeros((1, 2, 8, 25, 3), jnp.float32)
+    bb = cfg["model"].get("backbone", {})
+    v = 25
+    if "graph_cfg" in bb:
+        from .graph import Graph
+        v = Graph(**{k: tuple(x) if isinstance(x, list) else x
+                     for k, x in dict(bb["graph_cfg"]).items()}).num_node
+    c = bb.get("in_channels", 3)
+    sample = jnp.zeros((1, 2, 8, v, c), jnp.float32)
     params, stats = init_model(model, jax.random.PRNGKey(0), sample)
     tx, _ = make_optimizer(lr=0.1, total_steps=1)
     state = TrainState.create(model.apply, params, stats, tx)

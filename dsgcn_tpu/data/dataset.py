@@ -74,6 +74,91 @@ class PoseDataset:
         return np.array([a["label"] for a in self.video_infos])
 
 
+GESTURE_LABEL_NAMES = [
+    "Doing other things", "Drumming Fingers", "No gesture",
+    "Pulling Hand In", "Pulling Two Fingers In", "Pushing Hand Away",
+    "Pushing Two Fingers Away", "Rolling Hand Backward",
+    "Rolling Hand Forward", "Shaking Hand", "Sliding Two Fingers Down",
+    "Sliding Two Fingers Left", "Sliding Two Fingers Right",
+    "Sliding Two Fingers Up", "Stop Sign", "Swiping Down", "Swiping Left",
+    "Swiping Right", "Swiping Up", "Dislike", "Like",
+    "Turning Hand Clockwise", "Turning Hand Counterclockwise",
+    "Zooming In With Full Hand", "Zooming In With Two Fingers",
+    "Zooming Out With Full Hand", "Zooming Out With Two Fingers",
+    "Call", "Fist", "Four", "Mute", "OK", "One", "Palm", "Peace", "Rock",
+    "Three-Middle", "Three-Left", "Two Up", "No Gesture",
+]
+
+
+class GestureDataset(PoseDataset):
+    """Hand-gesture pose dataset (reference datasets/gesture_dataset.py:14-155).
+
+    Extends PoseDataset with: 'train+val' split union, empty-frame squeezing
+    (drops frames whose keypoint confidences are all <= 0,
+    gesture_dataset.py:88-95), 2D keypoint slicing, label-subset filtering,
+    and per-class top-1/top-5 evaluation over the 40 jester/hagrid gestures.
+    """
+
+    label_names = GESTURE_LABEL_NAMES
+
+    def __init__(self, ann_file, pipeline, split,
+                 valid_frames_thr: int = 0, squeeze: bool = True,
+                 mode: str = "2D", subset=None, test_mode: bool = False):
+        self.valid_frames_thr = valid_frames_thr
+        self.squeeze = squeeze
+        self.mode = mode
+
+        data = load_annotations(ann_file)
+        annos, splits = data["annotations"], data["split"]
+        allowed = set(splits["train"] + splits["val"]) \
+            if split == "train+val" else set(splits[split])
+        key = "filename" if "filename" in annos[0] else "frame_dir"
+        annos = [a for a in annos if a[key] in allowed]
+        if "train" in split and "valid_frames" in annos[0]:
+            annos = [a for a in annos
+                     if a["valid_frames"] >= valid_frames_thr]
+
+        out = []
+        for item in annos:
+            item = dict(item)
+            kp = np.asarray(item["keypoint"])
+            if kp.ndim == 2:
+                kp = kp[None, None]
+            elif squeeze and kp.ndim == 4:
+                assert kp.shape[0] == 1
+                flag = (kp[0, ..., 2] > 0).sum(axis=1) > 0
+                item["total_frames"] = int(flag.sum())
+                kp = kp[:, flag]
+                for extra in ("hand_score", "hand_lr"):
+                    if extra in item:
+                        item[extra] = np.asarray(item[extra])[:, flag]
+            if mode == "2D":
+                kp = kp[..., :2]
+            item["keypoint"] = kp
+            if subset is None or item["label"] in subset:
+                out.append(item)
+
+        self.ann_file = ann_file
+        self.pipeline = (pipeline if isinstance(pipeline, Compose)
+                         else build_pipeline(pipeline))
+        self.test_mode = test_mode
+        self.video_infos = out
+
+    def evaluate(self, scores: np.ndarray) -> Dict:
+        """Top-1/top-5 + per-class top-1 (gesture_dataset.py:105-155)."""
+        gt = self.labels
+        order = np.argsort(-np.asarray(scores), axis=1)
+        hit1 = (order[:, 0] == gt)
+        hit5 = (order[:, :5] == gt[:, None]).any(axis=1)
+        res = {"top1_acc": float(hit1.mean()), "top5_acc": float(hit5.mean()),
+               "per_class": {}}
+        for i, name in enumerate(self.label_names):
+            mask = gt == i
+            if mask.any():
+                res["per_class"][name] = float(hit1[mask].mean())
+        return res
+
+
 class RepeatDataset:
     """Repeat a dataset ``times`` times (dataset_wrappers.py:8-38) — the
     reference's mechanism for effective-epoch scaling."""

@@ -158,16 +158,38 @@ class PreNormalize3D:
 
 
 class PreNormalize2D:
-    """2D keypoint normalization to [-1, 1] by image shape (pose_related.py:130)."""
+    """2D keypoint normalization to [-1, 1] by image shape (pose_related.py:130).
+
+    ``mode``/``threshold`` are accepted for the gesture configs
+    (reference demo/stgcnpp_gesture.py:20 passes threshold=0, mode='auto',
+    which this fork's own PreNormalize2D rejects — upstream-pyskl knobs).
+    mode='auto' centers/scales by the extent of keypoints whose coordinate
+    magnitude exceeds ``threshold`` (for normalized mediapipe-style coords);
+    mode='fix' is the img_shape behavior above.
+    """
     randomized = False
 
-    def __init__(self, img_shape=(1080, 1920)):
+    def __init__(self, img_shape=(1080, 1920), threshold=0.01, mode="fix"):
+        assert mode in ("fix", "auto")
         self.img_shape = img_shape
+        self.threshold = threshold
+        self.mode = mode
 
     def __call__(self, results: Dict) -> Dict:
+        kp = results["keypoint"]
+        if self.mode == "auto":
+            mask = np.abs(kp[..., :2]).max(axis=-1) > self.threshold
+            if mask.any():
+                pts = kp[..., :2][mask]
+                lo, hi = pts.min(axis=0), pts.max(axis=0)
+                center = (lo + hi) / 2
+                scale = np.maximum((hi - lo) / 2, 1e-4)
+                kp[..., 0] = (kp[..., 0] - center[0]) / scale.max()
+                kp[..., 1] = (kp[..., 1] - center[1]) / scale.max()
+            return results
         h, w = results.get("img_shape", self.img_shape)
-        results["keypoint"][..., 0] = (results["keypoint"][..., 0] - w / 2) / (w / 2)
-        results["keypoint"][..., 1] = (results["keypoint"][..., 1] - h / 2) / (h / 2)
+        kp[..., 0] = (kp[..., 0] - w / 2) / (w / 2)
+        kp[..., 1] = (kp[..., 1] - h / 2) / (h / 2)
         return results
 
 

@@ -107,6 +107,23 @@ _LAYOUTS = {
         center=0,
         node_type=[0, 0, 0, 0, 0, 1, 2, 1, 2, 1, 2, 3, 4, 3, 4, 3, 4],
     ),
+    # MediaPipe 21-landmark hand: wrist 0, then 4 joints per finger
+    # (thumb 1-4, index 5-8, middle 9-12, ring 13-16, pinky 17-20).
+    # The gesture demo config (reference demo/stgcnpp_gesture.py:1) requires
+    # layout 'handmp', which the reference fork's own Graph never defines
+    # (graph.py:97-147 raises ValueError) — the demo is unusable as
+    # committed; this is the upstream-pyskl hand tree it intends.
+    "handmp": dict(
+        num_node=21,
+        inward=[(1, 0), (2, 1), (3, 2), (4, 3), (5, 0), (6, 5), (7, 6),
+                (8, 7), (9, 0), (10, 9), (11, 10), (12, 11), (13, 0),
+                (14, 13), (15, 14), (16, 15), (17, 0), (18, 17), (19, 18),
+                (20, 19)],
+        center=0,
+        # 5 parts: thumb(+wrist) / index / middle / ring / pinky
+        node_type=[0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                   4, 4, 4, 4],
+    ),
 }
 
 

@@ -28,7 +28,8 @@ def parse_args():
 
 def build_loaders(cfg, seed):
     import jax
-    from dsgcn_tpu.data.dataset import Loader, PoseDataset, RepeatDataset
+    from dsgcn_tpu.data.dataset import (ConcatDataset, GestureDataset, Loader,
+                                        PoseDataset, RepeatDataset)
 
     def build_ds(dcfg, test_mode=False):
         dcfg = dict(dcfg)
@@ -36,6 +37,16 @@ def build_loaders(cfg, seed):
         if typ == "RepeatDataset":
             times = dcfg.pop("times", 1)
             return RepeatDataset(build_ds(dcfg.pop("dataset"), test_mode), times)
+        if typ == "ConcatDataset":
+            return ConcatDataset([build_ds(d, test_mode)
+                                  for d in dcfg.pop("datasets")])
+        if typ == "GestureDataset":
+            return GestureDataset(
+                dcfg["ann_file"], dcfg["pipeline"], split=dcfg["split"],
+                valid_frames_thr=dcfg.get("valid_frames_thr", 0),
+                squeeze=dcfg.get("squeeze", True),
+                mode=dcfg.get("mode", "2D"), subset=dcfg.get("subset"),
+                test_mode=test_mode)
         assert typ == "PoseDataset"
         return PoseDataset(dcfg["ann_file"], dcfg["pipeline"],
                            split=dcfg.get("split"), test_mode=test_mode)
