@@ -25,7 +25,7 @@ from ..graph import Graph, GraphConfig
 from ..ops.common import Array, PointConv
 from ..ops.gcn import (DGGCN, DGHGCN, DGPHGCN1, UnitAAGCN, UnitAAHGCN,
                        UnitCTRGCN, UnitCTRHGCN, UnitGCN)
-from ..ops.tcn import CTRMSTCN, DGMSTCN, MSTCN, UnitMLP, UnitTCN
+from ..ops.tcn import CTRMSTCN, DGMSTCN, GCMLP, MSTCN, UnitMLP, UnitTCN
 
 EPS = 1e-4
 
@@ -101,6 +101,10 @@ def _make_tcn(tcn_type: str, out_channels: int, stride: int,
               for k, v in tcn_kwargs.items()}
         return MSTCN(out_channels, stride=stride, branch_kind="mlp",
                      name=name, **kw)
+    if tcn_type == "gcmlp":
+        kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
+              for k, v in tcn_kwargs.items()}
+        return GCMLP(out_channels, stride=stride, name=name, **kw)
     if tcn_type == "dgmsmlp":
         kw = {k: (tuple(map(tuple_ify, v)) if k == "ms_cfg" else v)
               for k, v in tcn_kwargs.items()}

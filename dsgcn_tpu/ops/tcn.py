@@ -54,6 +54,8 @@ class UnitMLP(nn.Module):
     norm: Optional[str] = "BN"
     dropout: float = 0.0
     adaptive: bool = True
+    channel_annention: bool = False
+    reduce: int = 4
     add_tcn: bool = False
     merge_after: bool = False
 
@@ -73,6 +75,17 @@ class UnitMLP(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c)
         y = y + bias.astype(x.dtype)
+
+        # 'channel attention' (reference tcn.py:546-548, 593): with a truthy
+        # channel_annention, the time axis is chunked into `group` contiguous
+        # blocks which are averaged (comb-subsampling T -> T/group).  Only
+        # sound when T' divides; group=1 (falsy) is the identity.
+        if self.channel_annention:
+            group = 8 if c <= 16 else c // self.reduce
+            t2 = y.shape[1]
+            assert t2 % group == 0, \
+                f"channel_annention needs group {group} | T' {t2}"
+            y = y.reshape(n, group, t2 // group, v, c).mean(axis=1)
 
         if self.add_tcn:
             x_tcn = TemporalConv(self.out_channels, self.kernel_size,
@@ -108,6 +121,9 @@ class _MSBranches(nn.Module):
     ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
     stride: int = 1
     branch_kind: str = "tcn"    # 'tcn' | 'mlp'
+    channel_annention: bool = False   # mlp branches only (gcmlp passthrough)
+    add_tcn: bool = False
+    merge_after: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -135,8 +151,11 @@ class _MSBranches(nn.Module):
                 b = max_pool_t(b, window=val, stride=self.stride, padding=1)
             elif self.branch_kind == "mlp":
                 b = UnitMLP(branch_c, kernel_size=kind, stride=self.stride,
-                            dilation=val, norm=None, name=f"branch{i}_mlp")(
-                                b, train=train)
+                            dilation=val, norm=None,
+                            channel_annention=self.channel_annention,
+                            add_tcn=self.add_tcn,
+                            merge_after=self.merge_after,
+                            name=f"branch{i}_mlp")(b, train=train)
             else:
                 b = UnitTCN(branch_c, kernel_size=kind, stride=self.stride,
                             dilation=val, norm=None, name=f"branch{i}_tcn")(
@@ -163,6 +182,40 @@ class MSTCN(nn.Module):
         feat = BatchNorm(name="transform_bn")(feat, use_running_average=not train)
         feat = jax.nn.relu(feat)
         feat = PointConv(self.out_channels, name="transform_conv")(feat)
+        feat = BatchNorm(name="bn")(feat, use_running_average=not train)
+        if self.dropout > 0:
+            feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
+        return feat
+
+
+class GCMLP(nn.Module):
+    """msmlp without the post-concat 1x1 transform (reference gcmlp,
+    tcn.py:263-340): branches -> concat -> BN -> dropout.  Output width is
+    the sum of branch widths (== out_channels for default mid_channels).
+
+    Reference quirks reproduced/documented: its default channel_annention=1
+    turns on unitmlp's time-comb averaging (tcn.py:546-548), which shrinks T
+    on mlp branches and makes the concat crash — usable only with
+    channel_annention falsy, the form implemented by default here.  Its only
+    consumer, METAGC/GClock, is dead code as committed (GClock.forward
+    returns a single tensor, metagc.py:36-42, while METAGC.forward unpacks
+    three, metagc.py:100-101)."""
+    out_channels: int
+    mid_channels: Optional[float] = None
+    dropout: float = 0.0
+    ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
+    stride: int = 1
+    channel_annention: bool = False
+    add_tcn: bool = False
+    merge_after: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        feat = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
+                           self.stride, "mlp",
+                           channel_annention=self.channel_annention,
+                           add_tcn=self.add_tcn, merge_after=self.merge_after,
+                           name="branches")(x, train=train)
         feat = BatchNorm(name="bn")(feat, use_running_average=not train)
         if self.dropout > 0:
             feat = nn.Dropout(self.dropout, deterministic=not train)(feat)

@@ -161,3 +161,78 @@ def group_lasso_penalty(params, weight: float = 1e-4) -> Array:
 
     jax.tree_util.tree_map_with_path(visit, params)
     return weight * total
+
+
+# ---------------------------------------------------------------------------
+# weight rerandomization (reference SparseModule.init_param_/rerandomize_,
+# sparse_mosules.py:61-118: periodically re-draws the pruned weights so the
+# mask search explores fresh weight values)
+# ---------------------------------------------------------------------------
+
+def _fan_in(shape) -> int:
+    f = 1
+    for s in shape[:-1]:
+        f *= s
+    return max(f, 1)
+
+
+def draw_init(rng, shape, dtype=jnp.float32, init_mode: str = "kaiming_uniform",
+              scale: float = 1.0) -> Array:
+    """Fresh weight draw (init_param_, sparse_mosules.py:61-79)."""
+    fan = _fan_in(shape)
+    gain = float(np.sqrt(2.0))     # relu
+    if init_mode == "kaiming_normal":
+        w = jax.random.normal(rng, shape, dtype) * (gain / np.sqrt(fan))
+    elif init_mode == "uniform":
+        w = jax.random.uniform(rng, shape, dtype, -1.0, 1.0)
+    elif init_mode == "kaiming_uniform":
+        bound = gain * np.sqrt(3.0 / fan)
+        w = jax.random.uniform(rng, shape, dtype, -bound, bound)
+    elif init_mode == "signed_constant":
+        std = gain / np.sqrt(fan)
+        w = jnp.sign(jax.random.normal(rng, shape, dtype)) * std
+    else:
+        raise NotImplementedError(init_mode)
+    return w * scale
+
+
+def rerandomize_param(rng, param: Array, score: Array, sparsity,
+                      rerand_rate: float = 1.0, mode: str = "bernoulli",
+                      la: float = 0.1, mu: float = 0.0,
+                      init_mode: str = "kaiming_uniform",
+                      scale: float = 1.0) -> Array:
+    """Re-draw a weight tensor outside its supermask (rerandomize_,
+    sparse_mosules.py:83-118).
+
+    bernoulli: kept weights unchanged; each pruned weight is replaced by a
+    fresh draw with probability ``la``.  manual: pruned weights become
+    ``la * old + mu * fresh``.  The mask uses sparsity * rerand_rate
+    (sparse_mosules.py:213-214), i.e. a laxer mask than the forward one.
+    """
+    k1, k2 = jax.random.split(rng)
+    mask = supermask(score, sparsity * rerand_rate)
+    rnd = draw_init(k1, param.shape, param.dtype, init_mode, scale)
+    if mode == "bernoulli":
+        b = jax.random.bernoulli(k2, la, param.shape).astype(param.dtype)
+        return param * mask + param * (1 - mask) * (1 - b) + \
+            rnd * (1 - mask) * b
+    if mode == "manual":
+        return param * mask + param * (1 - mask) * la + rnd * (1 - mask) * mu
+    raise NotImplementedError(mode)
+
+
+def rerandomize_tree(rng, params, sparsity, **kw):
+    """Apply rerandomize_param to every kernel that has a sibling 'score'
+    (SparseDense / SparseTemporalConv subtrees); everything else unchanged."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    scores = {tuple(str(k) for k in p[:-1]): leaf for p, leaf in flat
+              if getattr(p[-1], "key", None) == "score"}
+
+    def visit(path, leaf):
+        key = tuple(str(k) for k in path[:-1])
+        if getattr(path[-1], "key", None) == "kernel" and key in scores:
+            sub = jax.random.fold_in(rng, hash(key) % (2 ** 31))
+            return rerandomize_param(sub, leaf, scores[key], sparsity, **kw)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)

@@ -12,7 +12,7 @@ import ref_loader
 import torch_bridge as tb
 from dsgcn_tpu.graph import Graph
 from dsgcn_tpu.ops.gcn import CTRHGC, UnitAAHGCN, UnitCTRHGCN
-from dsgcn_tpu.ops.tcn import DGMSTCN, MSTCN, UnitMLP
+from dsgcn_tpu.ops.tcn import DGMSTCN, GCMLP, MSTCN, UnitMLP
 
 RNG = np.random.default_rng(11)
 TOL = dict(rtol=3e-4, atol=3e-4)
@@ -311,3 +311,41 @@ def test_dghgcn(refops, g, kw):
     our = DGHGCN(32, A_init=A, edge_type=g.edge_type,
                  node_type=np.array(g.node_type), **kw)
     _compare(our, {"params": params, "batch_stats": stats}, ref, _x(c=16))
+
+
+def test_unitmlp_channel_annention(refops):
+    """unitmlp's 'channel attention' — time-comb block averaging over
+    group = C//reduce chunks (reference tcn.py:546-548, 593)."""
+    _, reftcn = refops
+    ref = reftcn.unitmlp(32, 32, kernel_size=9, channel_annention=True)
+    tb.randomize_all_bns(ref, RNG)
+    params, stats = _unitmlp_vars(ref)
+    our = UnitMLP(32, kernel_size=9, channel_annention=True)
+    _compare(our, {"params": params, "batch_stats": stats}, ref,
+             _x(t=24, c=32))
+
+
+def test_gcmlp(refops):
+    """gcmlp: msmlp minus the post-concat transform (reference tcn.py:263-340).
+
+    channel_annention must be falsy — the reference default (1) enables the
+    comb averaging on mlp branches only, making torch.cat crash on mismatched
+    T (dead default; its sole consumer METAGC is dead code anyway,
+    metagc.py:36-42 vs 100-101)."""
+    _, reftcn = refops
+    ref = reftcn.gcmlp(16, 24, channel_annention=0)
+    tb.randomize_all_bns(ref, RNG)
+    ms_cfg = [(3, 1), (3, 2), (3, 3), (3, 4), ("max", 3), "1x1"]
+    bp, bs = _msmlp_branch_vars(ref.branches, ms_cfg)
+    params = {"branches": bp, "bn": tb.bn_p(ref.bn)}
+    stats = {"branches": bs, "bn": tb.bn_s(ref.bn)}
+    our = GCMLP(24)
+    _compare(our, {"params": params, "batch_stats": stats}, ref, _x(c=16))
+
+    # the reference default is unusable: channel-attention comb on mlp
+    # branches shrinks T and the concat crashes
+    import torch as _torch
+    ref_bad = reftcn.gcmlp(16, 24)
+    with pytest.raises(RuntimeError):
+        with _torch.no_grad():
+            ref_bad(_torch.zeros(1, 16, 24, 25))

@@ -138,3 +138,64 @@ def _sparse_step(model, tx, params, head_w, opt_state, sparsity, loss_fn):
     updates, opt_state = tx.update(grads, opt_state, (params, head_w))
     params, head_w = optax.apply_updates((params, head_w), updates)
     return (params, head_w), opt_state, l
+
+
+def test_rerandomize_bernoulli_semantics():
+    """rerandomize: kept (masked-in) weights untouched; pruned weights
+    replaced only where the Bernoulli draw fires (sparse_mosules.py:88-105)."""
+    import jax
+    import jax.numpy as jnp
+    from dsgcn_tpu.sparse.supermask import rerandomize_param, supermask
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    param = jax.random.normal(k1, (64, 32))
+    score = jax.random.normal(k2, (64, 32))
+    sparsity = 0.5
+
+    out = rerandomize_param(jax.random.PRNGKey(7), param, score, sparsity,
+                            mode="bernoulli", la=0.5)
+    mask = np.asarray(supermask(score, sparsity))
+    param, out = np.asarray(param), np.asarray(out)
+    # kept weights identical
+    np.testing.assert_array_equal(out[mask == 1], param[mask == 1])
+    # some but not all pruned weights redrawn (la=0.5)
+    changed = (out != param) & (mask == 0)
+    frac = changed.sum() / (mask == 0).sum()
+    assert 0.3 < frac < 0.7, frac
+
+
+def test_rerandomize_manual_formula():
+    import jax
+    import jax.numpy as jnp
+    from dsgcn_tpu.sparse.supermask import rerandomize_param, supermask
+
+    param = jnp.ones((16, 16))
+    score = jax.random.normal(jax.random.PRNGKey(1), (16, 16))
+    out = rerandomize_param(jax.random.PRNGKey(2), param, score, 0.25,
+                            mode="manual", la=0.5, mu=0.0)
+    mask = np.asarray(supermask(score, 0.25))
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[mask == 1], 1.0)
+    np.testing.assert_allclose(out[mask == 0], 0.5)   # la*old + 0*rnd
+
+
+def test_rerandomize_tree_targets_scored_kernels():
+    """Tree walk touches only kernels with sibling scores."""
+    import jax
+    import jax.numpy as jnp
+    from dsgcn_tpu.sparse.supermask import rerandomize_tree
+
+    params = {
+        "sp": {"kernel": jnp.ones((8, 8)),
+               "score": jax.random.normal(jax.random.PRNGKey(0), (8, 8))},
+        "plain": {"kernel": jnp.ones((8, 8))},
+    }
+    out = rerandomize_tree(jax.random.PRNGKey(3), params, 0.5,
+                           mode="bernoulli", la=1.0)
+    assert not np.array_equal(np.asarray(out["sp"]["kernel"]),
+                              np.ones((8, 8)))
+    np.testing.assert_array_equal(np.asarray(out["plain"]["kernel"]),
+                                  np.ones((8, 8)))
+    np.testing.assert_array_equal(np.asarray(out["sp"]["score"]),
+                                  np.asarray(params["sp"]["score"]))
