@@ -56,3 +56,22 @@ def top_k_correct(cls_score: Array, label: Array, k: int) -> Array:
     topk = jnp.argsort(cls_score, axis=-1)[:, -k:]
     hit = (topk == label[:, None]).any(axis=-1)
     return hit.mean()
+
+
+def mm_cross_entropy(scores: dict, labels, loss_weights=None):
+    """Weighted per-stream CE for multimodal recognizers (reference
+    mm_recognizer3d.py:26-34): total = sum_k w_k * CE(scores[k], labels).
+
+    Returns (total_loss, {name_loss: value})."""
+    import jax.numpy as jnp
+    if loss_weights is None:
+        loss_weights = {k: 1.0 for k in scores}
+    parts = {}
+    total = 0.0
+    for name, score in scores.items():
+        w = loss_weights.get(name, 1.0) if isinstance(loss_weights, dict) \
+            else loss_weights
+        l = cross_entropy(score, labels)
+        parts[f"{name}_loss_cls"] = l * w
+        total = total + l * w
+    return total, parts

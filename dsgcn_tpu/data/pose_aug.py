@@ -106,6 +106,7 @@ class RandomResizedCrop:
         results["img_shape"] = (new_h, new_w)
         results["keypoint"] = results["keypoint"] - np.array([left, top],
                                                              np.float32)
+        _crop_imgs_inplace(results, left, top, right, bottom)
         return results
 
 
@@ -129,6 +130,7 @@ class CenterCrop:
         results["img_shape"] = (ch, cw)
         results["keypoint"] = results["keypoint"] - np.array([left, top],
                                                              np.float32)
+        _crop_imgs_inplace(results, left, top, left + cw, top + ch)
         return results
 
 
@@ -169,6 +171,9 @@ class Resize:
         results["scale_factor"] = results["scale_factor"] * sf
         if "keypoint" in results:
             results["keypoint"] = results["keypoint"] * sf
+        if "imgs" in results:
+            results["imgs"] = [bilinear_resize(img, (new_w, new_h))
+                               for img in results["imgs"]]
         return results
 
 
@@ -201,6 +206,9 @@ class Flip:
         results["keypoint"] = kps[:, :, new_order]
         if "keypoint_score" in results:
             results["keypoint_score"] = results["keypoint_score"][:, :, new_order]
+        if "imgs" in results:
+            results["imgs"] = [np.ascontiguousarray(img[:, ::-1])
+                               for img in results["imgs"]]
         return results
 
 
@@ -216,4 +224,169 @@ class FormatHeatmapInput:
         assert t % nc == 0
         results["imgs"] = np.ascontiguousarray(
             imgs.reshape((nc, t // nc) + imgs.shape[1:]))
+        return results
+
+
+# ---------------------------------------------------------------------------
+# pixel-mode transforms (the RGB/heatmap-frame branch of
+# reference augmentations.py — RandomCrop :124-239, Normalize :612-695,
+# ThreeCrop :769-838, TenCrop :840-920)
+# ---------------------------------------------------------------------------
+
+def _crop_imgs_inplace(results: Dict, x1, y1, x2, y2):
+    if "imgs" in results:
+        results["imgs"] = [img[y1:y2, x1:x2] for img in results["imgs"]]
+
+
+def bilinear_resize(img: np.ndarray, size) -> np.ndarray:
+    """cv2-style bilinear resize (align_corners=False pixel-center mapping),
+    pure numpy — the image primitive under Resize (cv2 absent in this env)."""
+    new_w, new_h = size
+    h, w = img.shape[:2]
+    if (w, h) == (new_w, new_h):
+        return img.copy()
+    x = (np.arange(new_w, dtype=np.float64) + 0.5) * (w / new_w) - 0.5
+    y = (np.arange(new_h, dtype=np.float64) + 0.5) * (h / new_h) - 0.5
+    x = np.clip(x, 0, w - 1)
+    y = np.clip(y, 0, h - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = (x - x0)[None, :]
+    wy = (y - y0)[:, None]
+    if img.ndim == 3:
+        wx, wy = wx[..., None], wy[..., None]
+    f = img.astype(np.float64)
+    out = (f[y0][:, x0] * (1 - wy) * (1 - wx) + f[y0][:, x1] * (1 - wy) * wx
+           + f[y1][:, x0] * wy * (1 - wx) + f[y1][:, x1] * wy * wx)
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.clip(np.round(out), np.iinfo(img.dtype).min,
+                      np.iinfo(img.dtype).max)
+    return out.astype(img.dtype)
+
+
+class RandomCrop:
+    """Square random crop over pixels + keypoints (augmentations.py:124-239)."""
+    randomized = True
+
+    def __init__(self, size):
+        assert isinstance(size, int)
+        self.size = size
+
+    def __call__(self, results: Dict, rng) -> Dict:
+        img_h, img_w = results["img_shape"]
+        assert self.size <= img_h and self.size <= img_w
+        y_off = int(rng.randint(0, img_h - self.size)) if img_h > self.size else 0
+        x_off = int(rng.randint(0, img_w - self.size)) if img_w > self.size else 0
+
+        quad = results.get("crop_quadruple", (0.0, 0.0, 1.0, 1.0))
+        results["crop_quadruple"] = np.array(_combine_quadruple(
+            quad, (x_off / img_w, y_off / img_h,
+                   self.size / img_w, self.size / img_h)), np.float32)
+        bbox = np.array([x_off, y_off, x_off + self.size, y_off + self.size])
+        results["crop_bbox"] = bbox
+        results["img_shape"] = (self.size, self.size)
+        if "keypoint" in results:
+            results["keypoint"] = results["keypoint"] - bbox[:2]
+        _crop_imgs_inplace(results, *bbox)
+        return results
+
+
+class Normalize:
+    """Mean/std image normalization (augmentations.py:612-695); RGB stacks the
+    frame list to (N, H, W, C), Flow pairs x/y frames into (N, H, W, 2)."""
+    randomized = False
+
+    def __init__(self, mean, std, to_bgr=False, adjust_magnitude=False):
+        self.mean = np.array(mean, np.float32)
+        self.std = np.array(std, np.float32)
+        self.to_bgr = to_bgr
+        self.adjust_magnitude = adjust_magnitude
+
+    def __call__(self, results: Dict) -> Dict:
+        modality = results.get("modality", "RGB")
+        if modality == "RGB":
+            imgs = np.stack(results["imgs"]).astype(np.float32)
+            if self.to_bgr:
+                imgs = imgs[..., ::-1]
+            imgs = (imgs - self.mean) / self.std
+            results["imgs"] = imgs
+            results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
+                                           to_bgr=self.to_bgr)
+            return results
+        if modality == "Flow":
+            n = len(results["imgs"]) // 2
+            x = np.stack(results["imgs"][0::2]).astype(np.float32)
+            y = np.stack(results["imgs"][1::2]).astype(np.float32)
+            x = (x - self.mean[0]) / self.std[0]
+            y = (y - self.mean[1]) / self.std[1]
+            if self.adjust_magnitude:
+                x = x * results["scale_factor"][0]
+                y = y * results["scale_factor"][1]
+            results["imgs"] = np.stack([x, y], axis=-1)
+            return results
+        raise NotImplementedError(modality)
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class ThreeCrop:
+    """Three equal crops along the long side (augmentations.py:769-838);
+    frames triple: (T,) -> (3T,)."""
+    randomized = False
+
+    def __init__(self, crop_size):
+        self.crop_size = _pair(crop_size)
+
+    def __call__(self, results: Dict) -> Dict:
+        imgs = results["imgs"]
+        img_h, img_w = imgs[0].shape[:2]
+        cw, ch = self.crop_size
+        assert ch == img_h or cw == img_w
+        if ch == img_h:
+            step = (img_w - cw) // 2
+            offsets = [(0, 0), (2 * step, 0), (step, 0)]
+        else:
+            step = (img_h - ch) // 2
+            offsets = [(0, 0), (0, 2 * step), (0, step)]
+        cropped, bboxes = [], []
+        for x_off, y_off in offsets:
+            cropped.extend(img[y_off:y_off + ch, x_off:x_off + cw]
+                           for img in imgs)
+            bboxes.extend([[x_off, y_off, x_off + cw, y_off + ch]] * len(imgs))
+        results["imgs"] = cropped
+        results["crop_bbox"] = np.array(bboxes)
+        results["img_shape"] = (ch, cw)
+        return results
+
+
+class TenCrop:
+    """Four corners + center, each plus horizontal flip
+    (augmentations.py:840-920); frames x10."""
+    randomized = False
+
+    def __init__(self, crop_size):
+        self.crop_size = _pair(crop_size)
+
+    def __call__(self, results: Dict) -> Dict:
+        imgs = results["imgs"]
+        img_h, img_w = imgs[0].shape[:2]
+        cw, ch = self.crop_size
+        w_step = (img_w - cw) // 4
+        h_step = (img_h - ch) // 4
+        offsets = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+                   (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step)]
+        out, bboxes = [], []
+        for x_off, y_off in offsets:
+            crop = [img[y_off:y_off + ch, x_off:x_off + cw] for img in imgs]
+            out.extend(crop)
+            out.extend(np.ascontiguousarray(c[:, ::-1]) for c in crop)
+            bboxes.extend([[x_off, y_off, x_off + cw, y_off + ch]]
+                          * (len(imgs) * 2))
+        results["imgs"] = out
+        results["crop_bbox"] = np.array(bboxes)
+        results["img_shape"] = (ch, cw)
         return results

@@ -542,10 +542,12 @@ class Collect:
 
 def _heatmap_transforms():
     from .heatmap import GeneratePoseTarget
-    from .pose_aug import (CenterCrop, Flip, FormatHeatmapInput, PoseCompact,
-                           RandomResizedCrop, Resize)
+    from .pose_aug import (CenterCrop, Flip, FormatHeatmapInput, Normalize,
+                           PoseCompact, RandomCrop, RandomResizedCrop, Resize,
+                           TenCrop, ThreeCrop)
     return [GeneratePoseTarget, PoseCompact, RandomResizedCrop, CenterCrop,
-            Resize, Flip, FormatHeatmapInput]
+            Resize, Flip, FormatHeatmapInput, RandomCrop, Normalize,
+            ThreeCrop, TenCrop]
 
 
 TRANSFORMS = {c.__name__: c for c in

@@ -18,7 +18,8 @@ from .cnns import (C3D, PoTion, RecognizerPoseC3D, ResNet3d, ResNet3dSlowFast,
 from .heads import (ClsHead, GCHead, GCNHead, HGTHead, RGBPoseHead,
                     SimpleHead3D, TSNHead)
 from .msg3d_sgn import MSG3D, SGN
-from .recognizer import RecognizerGCN
+from .recognizer import (MMRecognizer3D, Recognizer2D, Recognizer3D,
+                         RecognizerGCN)
 
 BACKBONES = {
     "STGCN": STGCN,
@@ -105,6 +106,11 @@ def build_model(cfg: Dict[str, Any]):
         return RecognizerPoseC3D(backbone=backbone,
                                  num_classes=cfg.get("num_classes", 60),
                                  dropout=cfg.get("dropout", 0.5))
+    if typ in ("Recognizer3D", "Recognizer2D", "MMRecognizer3D"):
+        cls = {"Recognizer3D": Recognizer3D, "Recognizer2D": Recognizer2D,
+               "MMRecognizer3D": MMRecognizer3D}[typ]
+        return cls(backbone=backbone, head=build_head(cfg["cls_head"]),
+                   compute_dtype=cfg.get("compute_dtype"))
     assert typ == "RecognizerGCN"
     head = build_head(cfg["cls_head"])
     return RecognizerGCN(backbone=backbone, head=head,

@@ -73,3 +73,77 @@ def average_clip(cls_score: Array, mode: Optional[str] = "prob") -> Array:
     if mode == "score":
         return cls_score.mean(axis=1)
     raise ValueError(f"average_clips={mode!r} not supported")
+
+
+class Recognizer3D(nn.Module):
+    """3D-CNN recognizer (reference recognizers/recognizer3d.py:10-85):
+    backbone over (N, T, H, W, C) volumes + any 3D head.
+
+    Multi-clip folding and score averaging stay outside the jitted forward
+    (callers fold (N, S, ...) -> (N*S, ...) and use :func:`average_clip`),
+    mirroring how the reference reshapes in forward_test (:31-33).  With
+    feat_ext the pooled backbone feature is returned instead of logits
+    (:58-78).
+    """
+    backbone: nn.Module
+    head: nn.Module
+    compute_dtype: Optional[str] = None
+
+    def __call__(self, x: Array, *, train: bool, feat_ext: bool = False):
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        feat = self.backbone(x, train=train)
+        if feat_ext:
+            if isinstance(feat, (tuple, list)):
+                pooled = jnp.concatenate(
+                    [f.mean(axis=tuple(range(1, f.ndim - 1))) for f in feat],
+                    axis=-1)
+            else:
+                pooled = feat.mean(axis=tuple(range(1, feat.ndim - 1)))
+            return pooled.astype(jnp.float32)
+        logits = self.head(feat, train=train)
+        if self.compute_dtype is not None:
+            logits = logits.astype(jnp.float32)
+        return logits
+
+
+class Recognizer2D(nn.Module):
+    """2D-CNN recognizer over frame segments (reference recognizer2d.py:9-58):
+    (N, S, H, W, C) -> fold segments -> 2D backbone -> unfold -> 2D head
+    (segment-mean pooling inside the head)."""
+    backbone: nn.Module
+    head: nn.Module
+    compute_dtype: Optional[str] = None
+
+    def __call__(self, x: Array, *, train: bool, feat_ext: bool = False):
+        n, s = x.shape[:2]
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        flat = x.reshape((n * s,) + x.shape[2:])
+        feat = self.backbone(flat, train=train)          # (N*S, H', W', C')
+        feat = feat.reshape((n, s) + feat.shape[1:])
+        if feat_ext:
+            return feat.mean(axis=(2, 3)).mean(axis=1).astype(jnp.float32)
+        logits = self.head(feat, train=train)
+        if self.compute_dtype is not None:
+            logits = logits.astype(jnp.float32)
+        return logits
+
+
+class MMRecognizer3D(nn.Module):
+    """Multimodal RGB + pose recognizer (reference mm_recognizer3d.py:6-62):
+    dual-input backbone (RGBPoseConv3D) + RGBPoseHead; returns the dict of
+    per-stream logits {'rgb': ..., 'pose': ...}."""
+    backbone: nn.Module
+    head: nn.Module
+    compute_dtype: Optional[str] = None
+
+    def __call__(self, imgs: Array, heatmap_imgs: Array, *, train: bool):
+        if self.compute_dtype is not None:
+            imgs = imgs.astype(self.compute_dtype)
+            heatmap_imgs = heatmap_imgs.astype(self.compute_dtype)
+        feats = self.backbone(imgs, heatmap_imgs, train=train)
+        scores = self.head(feats, train=train)
+        if self.compute_dtype is not None:
+            scores = {k: v.astype(jnp.float32) for k, v in scores.items()}
+        return scores

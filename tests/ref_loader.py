@@ -147,7 +147,49 @@ def _install_stubs():
                         build_from_cfg=build_from_cfg,
                         print_log=lambda msg, logger=None: None)
     _ensure_stub_module("mmcv.parallel", DataContainer=DataContainer)
-    _ensure_stub_module("mmcv", load=None, dump=None)
+
+    # image primitives used by augmentations.py (cv2-free numpy forms; resize
+    # delegates to our bilinear so pixel-path parity tests share the primitive)
+    import numpy as _np
+
+    def is_tuple_of(seq, typ):
+        return isinstance(seq, tuple) and all(isinstance(s, typ) for s in seq)
+
+    def imnormalize_(img, mean, std, to_rgb=False):
+        if to_rgb:
+            img[...] = img[..., ::-1]
+        img -= mean
+        img /= std
+        return img
+
+    def imflip_(img, direction="horizontal"):
+        if direction == "horizontal":
+            img[...] = img[:, ::-1]
+        else:
+            img[...] = img[::-1]
+        return img
+
+    def iminvert(img):
+        return _np.full_like(img, 255) - img
+
+    def imresize(img, size, interpolation="bilinear", out=None):
+        from dsgcn_tpu.data.pose_aug import bilinear_resize
+        return bilinear_resize(img, size)
+
+    def rescale_size(old_size, scale, return_scale=False):
+        w, h = old_size
+        if isinstance(scale, (float, int)):
+            factor = scale
+        else:
+            max_long, max_short = max(scale), min(scale)
+            factor = min(max_long / max(h, w), max_short / min(h, w))
+        new_size = (int(w * factor + 0.5), int(h * factor + 0.5))
+        return (new_size, factor) if return_scale else new_size
+
+    _ensure_stub_module("mmcv", load=None, dump=None,
+                        is_tuple_of=is_tuple_of, imnormalize_=imnormalize_,
+                        imflip_=imflip_, iminvert=iminvert, imresize=imresize,
+                        rescale_size=rescale_size)
     return mmcv
 
 
@@ -294,3 +336,24 @@ def load_ref_heads():
     simple = importlib.import_module("refpyskl.models.heads.simple_head")
     rgbpose = importlib.import_module("refpyskl.models.heads.rgbpose_head")
     return dict(simple_head=simple, rgbpose_head=rgbpose)
+
+
+def load_ref_augmentations():
+    """Import reference datasets/pipelines/augmentations.py (pixel branch)."""
+    _install_stubs()
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    builder = _ensure_stub_module("refds.builder", PIPELINES=_Registry(),
+                                  DATASETS=_Registry())
+    builder.__package__ = "refds"
+    _ensure_pkg("refds", f"{REF}/pyskl/datasets")
+    _ensure_pkg("refds.pipelines", f"{REF}/pyskl/datasets/pipelines")
+    builder2 = _ensure_stub_module("refds.pipelines.builder",
+                                   PIPELINES=_Registry())
+    builder2.__package__ = "refds.pipelines"
+    return importlib.import_module("refds.pipelines.augmentations")
