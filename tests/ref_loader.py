@@ -357,3 +357,9 @@ def load_ref_augmentations():
                                    PIPELINES=_Registry())
     builder2.__package__ = "refds.pipelines"
     return importlib.import_module("refds.pipelines.augmentations")
+
+
+def load_ref_gcn_module(name):
+    """Import an arbitrary reference gcns/<name>.py (e.g. 'msg3d', 'sgn')."""
+    load_ref_backbones()
+    return importlib.import_module(f"refpyskl.models.gcns.{name}")

@@ -168,7 +168,8 @@ def ctr_mstcn_vars(ref, n_dil=2, residual=False):
     params[f"branch{i}_conv"] = {"conv": tconv_p(br[0])["conv"]}
     params[f"branch{i}_bn"] = bn_p(br[1])
     stats[f"branch{i}_bn"] = bn_s(br[1])
-    if residual and not callable(ref.residual):
+    import torch.nn as _nn
+    if residual and isinstance(ref.residual, _nn.Module):
         p, s = unit_tcn_vars(ref.residual)
         params["residual"] = p
         stats["residual"] = s
