@@ -461,6 +461,55 @@ class UniformSample(UniformSampleFrames):
     pass
 
 
+class UniformSampleOrder(UniformSampleFrames):
+    """UniformSample_order (reference sampling.py:195-282): identical to
+    UniformSampleFrames except short-video train clips always start at 0
+    (:241-243) and out-of-range indices clamp to the last frame instead of
+    looping (:254)."""
+
+    def _sample_one(self, num_frames, clip_len, rng, clip_idx):
+        pi = self.p_interval
+        old_num_frames = num_frames
+        ratio = rng.rand() * (pi[1] - pi[0]) + pi[0]
+        num_frames = int(ratio * num_frames)
+        off = rng.randint(old_num_frames - num_frames + 1)
+        if not self.test_mode and num_frames < clip_len:
+            return np.arange(0, clip_len) + off
+        # remaining branches identical to UniformSampleFrames
+        if num_frames < clip_len:
+            start = (clip_idx if num_frames < self.num_clips
+                     else clip_idx * num_frames // self.num_clips)
+            inds = np.arange(start, start + clip_len)
+        elif clip_len <= num_frames < 2 * clip_len:
+            basic = np.arange(clip_len)
+            chosen = rng.choice(clip_len + 1, num_frames - clip_len,
+                                replace=False)
+            offset = np.zeros(clip_len + 1, dtype=np.int64)
+            offset[chosen] = 1
+            inds = basic + np.cumsum(offset)[:-1]
+        else:
+            bids = np.array([i * num_frames // clip_len
+                             for i in range(clip_len + 1)])
+            bst = bids[:clip_len]
+            inds = bst + rng.randint(np.diff(bids))
+        return inds + off
+
+    def __call__(self, results: Dict, rng=None) -> Dict:
+        num_frames = results["total_frames"]
+        if self.test_mode:
+            rng = np.random.RandomState(self.seed)
+        elif rng is None:
+            rng = np.random.RandomState()
+        inds = self._get_clips(num_frames, self.clip_len, rng)
+        inds[inds >= num_frames] = num_frames - 1    # clamp (sampling.py:254)
+        inds = inds + results.get("start_index", 0)
+        results["frame_inds"] = inds.astype(np.int64)
+        results["clip_len"] = self.clip_len
+        results["frame_interval"] = None
+        results["num_clips"] = self.num_clips
+        return results
+
+
 class PoseDecode:
     """Gather sampled frames (pose_related.py:19)."""
     randomized = False
@@ -545,15 +594,19 @@ def _heatmap_transforms():
     from .pose_aug import (CenterCrop, Flip, FormatHeatmapInput, Normalize,
                            PoseCompact, RandomCrop, RandomResizedCrop, Resize,
                            TenCrop, ThreeCrop)
+    from .video import (ArrayDecode, DecordDecode, DecordInit,
+                        RawFrameDecode, SampleFrames)
     return [GeneratePoseTarget, PoseCompact, RandomResizedCrop, CenterCrop,
             Resize, Flip, FormatHeatmapInput, RandomCrop, Normalize,
-            ThreeCrop, TenCrop]
+            ThreeCrop, TenCrop, SampleFrames, ArrayDecode, RawFrameDecode,
+            DecordInit, DecordDecode]
 
 
 TRANSFORMS = {c.__name__: c for c in
               [PreNormalize3D, PreNormalize2D, RandomRot, RandomScale,
                RandomGaussianNoise, JointToBone, ToMotion, MergeSkeFeat,
-               GenSkeFeat, UniformSampleFrames, UniformSample, PoseDecode,
+               GenSkeFeat, UniformSampleFrames, UniformSample,
+               UniformSampleOrder, PoseDecode,
                PadTo, FormatGCNInput, Collect, Rename]
               + _heatmap_transforms()}
 

@@ -148,6 +148,16 @@ def _install_stubs():
                         print_log=lambda msg, logger=None: None)
     _ensure_stub_module("mmcv.parallel", DataContainer=DataContainer)
 
+    class FileClient:
+        def __init__(self, *a, **k):
+            pass
+
+        def get(self, path):
+            with open(path, "rb") as f:
+                return f.read()
+
+    _ensure_stub_module("mmcv.fileio", FileClient=FileClient)
+
     # image primitives used by augmentations.py (cv2-free numpy forms; resize
     # delegates to our bilinear so pixel-path parity tests share the primitive)
     import numpy as _np

@@ -95,3 +95,19 @@ def test_bce_and_soft_ce_match_torch():
     got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(hard),
                               class_weight=jnp.asarray(w)))
     assert abs(got - want) < 1e-5
+
+
+def test_tsne_map_separates_clusters():
+    """tsne_map (TSNEmap analog, core/evaluation.py:197-201; exact numpy
+    t-SNE since sklearn is absent): well-separated clusters stay separated."""
+    from dsgcn_tpu.utils.analysis import tsne_map
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.standard_normal((40, 12)) + 8 * i
+                        for i in range(3)])
+    lab = np.repeat(np.arange(3), 40)
+    emb = tsne_map(x, perplexity=12, n_iter=250)
+    assert emb.shape == (120, 2)
+    d = ((emb[:, None] - emb[None]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    purity = (lab[np.argmin(d, 1)] == lab).mean()
+    assert purity > 0.95, purity
