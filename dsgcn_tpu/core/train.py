@@ -36,13 +36,83 @@ class TrainState(struct.PyTreeNode):
                    tx=tx, apply_fn=apply_fn)
 
 
+def paramwise_mults(params, paramwise_cfg: Mapping):
+    """Per-parameter (lr_mult, decay_mult) trees, mmcv
+    DefaultOptimizerConstructor semantics (reference
+    core/optimizer/sparse_constructor.py:15-120 and mmcv add_params):
+
+    * ``custom_keys``: substring match on the dotted parameter path; the
+      longest (then alphabetically first) matching key wins and overrides
+      all other rules.
+    * ``bias_lr_mult`` / ``bias_decay_mult``: 'bias' leaves outside norm
+      layers.
+    * ``norm_decay_mult``: all parameters of norm layers (detected by a 'bn'
+      path component under our naming convention).
+    """
+    custom = paramwise_cfg.get("custom_keys", {})
+    keys = sorted(custom, key=lambda k: (-len(k), k))
+    bias_lr_mult = paramwise_cfg.get("bias_lr_mult", 1.0)
+    bias_decay_mult = paramwise_cfg.get("bias_decay_mult", 1.0)
+    norm_decay_mult = paramwise_cfg.get("norm_decay_mult", 1.0)
+
+    def classify(path):
+        name = ".".join(str(getattr(p, "key", p)) for p in path)
+        for k in keys:
+            if k in name:
+                c = custom[k]
+                return (c.get("lr_mult", 1.0), c.get("decay_mult", 1.0))
+        is_norm = any("bn" in str(getattr(p, "key", "")).lower()
+                      for p in path)
+        is_bias = str(getattr(path[-1], "key", "")) == "bias"
+        if is_norm:
+            return (1.0, norm_decay_mult)
+        if is_bias:
+            return (bias_lr_mult, bias_decay_mult)
+        return (1.0, 1.0)
+
+    lr_tree = jax.tree_util.tree_map_with_path(
+        lambda p, _: classify(p)[0], params)
+    decay_tree = jax.tree_util.tree_map_with_path(
+        lambda p, _: classify(p)[1], params)
+    return lr_tree, decay_tree
+
+
+def _add_decayed_weights_mult(weight_decay: float, mults):
+    """add_decayed_weights with a per-leaf decay multiplier tree."""
+
+    def update_fn(updates, state, params):
+        assert params is not None
+        updates = jax.tree.map(
+            lambda u, p, m: u + weight_decay * m * p, updates, params, mults)
+        return updates, state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                        update_fn)
+
+
+def _scale_by_mults(mults):
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, m: u * m, updates, mults), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                        update_fn)
+
+
 def make_optimizer(lr: float = 0.1, momentum: float = 0.9,
                    weight_decay: float = 5e-4, nesterov: bool = True,
                    total_steps: Optional[int] = None,
                    schedule: str = "cosine",
-                   grad_clip: Optional[float] = None
+                   grad_clip: Optional[float] = None,
+                   paramwise_cfg: Optional[Mapping] = None,
+                   params=None,
                    ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
-    """torch-SGD-equivalent chain: wd -> momentum(nesterov) -> lr schedule."""
+    """torch-SGD-equivalent chain: wd -> momentum(nesterov) -> lr schedule.
+
+    With ``paramwise_cfg`` (requires ``params`` for path classification), the
+    decay and lr are additionally scaled per parameter as torch param groups
+    would (group base lr = lr * lr_mult; the schedule multiplies all groups
+    uniformly, matching torch schedulers' relative scaling).
+    """
     if schedule == "cosine":
         assert total_steps is not None
         sched = optax.cosine_decay_schedule(lr, decay_steps=total_steps, alpha=0.0)
@@ -50,13 +120,21 @@ def make_optimizer(lr: float = 0.1, momentum: float = 0.9,
         sched = optax.constant_schedule(lr)
     else:
         raise ValueError(schedule)
+    lr_tree = decay_tree = None
+    if paramwise_cfg:
+        assert params is not None, "paramwise_cfg needs params"
+        lr_tree, decay_tree = paramwise_mults(params, paramwise_cfg)
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))
     if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(_add_decayed_weights_mult(weight_decay, decay_tree)
+                     if decay_tree is not None
+                     else optax.add_decayed_weights(weight_decay))
     if momentum:
         parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    if lr_tree is not None:
+        parts.append(_scale_by_mults(lr_tree))
     parts.append(optax.scale_by_learning_rate(sched))
     return optax.chain(*parts), sched
 

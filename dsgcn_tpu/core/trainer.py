@@ -56,7 +56,8 @@ class Trainer:
                  mesh=None, log_interval: int = 20, ckpt_interval_epochs: int = 5,
                  eval_interval: int = 1,
                  eval_metrics: Sequence[str] = ("top_k_accuracy",),
-                 average_clips: str = "prob", input_shape=None):
+                 average_clips: str = "prob", input_shape=None,
+                 paramwise_cfg=None):
         self.model = model
         self.work_dir = work_dir
         self.train_loader = train_loader
@@ -72,9 +73,6 @@ class Trainer:
 
         steps_per_epoch = train_loader.steps_per_epoch()
         total_steps = steps_per_epoch * total_epochs
-        tx, self.lr_sched = make_optimizer(
-            lr=lr, momentum=momentum, weight_decay=weight_decay,
-            total_steps=total_steps, grad_clip=grad_clip)
 
         if input_shape is None:
             probe = next(iter(train_loader.epoch(0)))
@@ -82,6 +80,10 @@ class Trainer:
             input_shape = (1,) + kp.shape[2:] if kp.ndim == 6 else (1,) + kp.shape[1:]
         sample = jnp.zeros(input_shape, jnp.float32)
         params, stats = init_model(model, jax.random.PRNGKey(seed), sample)
+        tx, self.lr_sched = make_optimizer(
+            lr=lr, momentum=momentum, weight_decay=weight_decay,
+            total_steps=total_steps, grad_clip=grad_clip,
+            paramwise_cfg=paramwise_cfg, params=params)
         state = TrainState.create(model.apply, params, stats, tx)
         self.state = replicate(state, self.mesh)
         self.rng = jax.random.PRNGKey(seed)

@@ -118,3 +118,59 @@ def test_extract_dynamic_graphs():
     assert len(graphs) == 10          # one dynamic graph per DG block
     g0 = next(iter(graphs.values()))
     assert g0.shape[-2:] == (25, 25)  # (N, K, Cq, Tq, V, V)
+
+
+def test_paramwise_optimizer_matches_torch_groups():
+    """paramwise_cfg (custom_keys/bias_lr_mult/norm_decay_mult) matches torch
+    SGD param groups over 3 steps (mmcv DefaultOptimizerConstructor
+    semantics, reference core/optimizer/sparse_constructor.py:15-120)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsgcn_tpu.core.train import make_optimizer
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((4, 3)).astype(np.float32)
+    b = rng.standard_normal((3,)).astype(np.float32)
+    bn_scale = rng.standard_normal((3,)).astype(np.float32)
+
+    params = {"dense": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+              "bn": {"scale": jnp.asarray(bn_scale)}}
+    cfg = dict(custom_keys={"dense.kernel": dict(lr_mult=0.5, decay_mult=2.0)},
+               bias_lr_mult=0.1, norm_decay_mult=0.0)
+    lr, wd, mom = 0.2, 0.01, 0.9
+    tx, _ = make_optimizer(lr=lr, momentum=mom, weight_decay=wd,
+                           nesterov=True, schedule="constant",
+                           paramwise_cfg=cfg, params=params)
+    state = tx.init(params)
+
+    tw = torch.nn.Parameter(torch.tensor(w))
+    tb = torch.nn.Parameter(torch.tensor(b))
+    ts = torch.nn.Parameter(torch.tensor(bn_scale))
+    opt = torch.optim.SGD(
+        [dict(params=[tw], lr=lr * 0.5, weight_decay=wd * 2.0),
+         dict(params=[tb], lr=lr * 0.1, weight_decay=wd),
+         dict(params=[ts], lr=lr, weight_decay=0.0)],
+        lr=lr, momentum=mom, nesterov=True)
+
+    for step in range(3):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32)), params)
+        updates, state = tx.update(g, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        for t, key in ((tw, ("dense", "kernel")), (tb, ("dense", "bias")),
+                       (ts, ("bn", "scale"))):
+            t.grad = torch.tensor(np.asarray(g[key[0]][key[1]]))
+        opt.step()
+
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["dense"]["bias"]),
+                               tb.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["bn"]["scale"]),
+                               ts.detach().numpy(), rtol=1e-5, atol=1e-6)

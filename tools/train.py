@@ -92,6 +92,7 @@ def main():
         total_epochs=total_epochs,
         lr=opt.get("lr", 0.1), momentum=opt.get("momentum", 0.9),
         weight_decay=opt.get("weight_decay", 5e-4),
+        paramwise_cfg=opt.get("paramwise_cfg"),
         grad_clip=(cfg.get("optimizer_config", {}) or {}).get(
             "grad_clip", None),
         seed=args.seed,
