@@ -29,6 +29,10 @@ def _bench(fn, args, iters=30, warmup=2):
 
 def main():
     import jax
+    # persistent compile cache: first run after a code change pays ~8 remote
+    # compiles (20-90s each on the TPU tunnel); later runs start warm
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from dsgcn_tpu.core.train import TrainState, make_optimizer, train_step
     from dsgcn_tpu.models.builder import build_model, build_named_model, model_cfg

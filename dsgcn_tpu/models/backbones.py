@@ -24,8 +24,10 @@ from flax.core import FrozenDict
 from ..graph import Graph, GraphConfig
 from ..ops.common import Array, PointConv
 from ..ops.gcn import (DGGCN, DGHGCN, DGPHGCN1, UnitAAGCN, UnitAAHGCN,
+                       UnitGCNEdge, UnitGTGCN,
                        UnitCTRGCN, UnitCTRHGCN, UnitGCN)
-from ..ops.tcn import CTRMSTCN, DGMSTCN, GCMLP, MSTCN, UnitMLP, UnitTCN
+from ..ops.tcn import (CTRMSTCN, DGMSTCN, GCMLP, MSTCN, UnitMLP, UnitTCN,
+                       UnitTCNEdge)
 
 EPS = 1e-4
 
@@ -151,6 +153,55 @@ class STGCNBlock(nn.Module):
                     **self.gcn_kwargs)(x, train=train)
         y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
                       dict(self.tcn_kwargs))(y, train=train)
+        return jax.nn.relu(y + res)
+
+
+class STGINBlock(nn.Module):
+    """unit_gcnedge + unit_tcnedge with threaded edge representations
+    (reference STGINBlock, stgin.py:17-72)."""
+    out_channels: int
+    A: np.ndarray
+    stride: int = 1
+    residual: bool = True
+    gcn_kwargs: FrozenDict = FrozenDict()
+    tcn_kwargs: FrozenDict = FrozenDict()
+
+    @nn.compact
+    def __call__(self, x: Array, edge_t: Array, edge_s: Array, *,
+                 train: bool):
+        res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          name="residual")(x, train=train)
+        y, edge_s, edge_t = UnitGCNEdge(
+            self.out_channels, A_init=self.A, name="gcn",
+            **self.gcn_kwargs)(x, edge_s, edge_t, train=train)
+        y, edge_t, edge_s = UnitTCNEdge(
+            self.out_channels, stride=self.stride, name="tcn",
+            **self.tcn_kwargs)(y, edge_t, edge_s, train=train)
+        return jax.nn.relu(y + res), edge_t, edge_s
+
+
+class GTGCNBlock(nn.Module):
+    """unit_gtgcn + temporal conv + residual (reference MEGA-era GTGCNBlock,
+    gtgcn.py:11-64)."""
+    out_channels: int
+    A: np.ndarray
+    stride: int = 1
+    residual: bool = True
+    edge_type: Optional[np.ndarray] = None
+    node_type: Optional[np.ndarray] = None
+    gcn_kwargs: FrozenDict = FrozenDict()
+    tcn_type: str = "unit_tcn"
+    tcn_kwargs: FrozenDict = FrozenDict()
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          name="residual")(x, train=train)
+        y = UnitGTGCN(self.out_channels, A_init=self.A,
+                      edge_type=self.edge_type, node_type=self.node_type,
+                      name="gcn1", **self.gcn_kwargs)(x, train=train)
+        y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
+                      dict(self.tcn_kwargs), name="tcn1")(y, train=train)
         return jax.nn.relu(y + res)
 
 
@@ -351,6 +402,68 @@ class STGCN(_BackboneBase):
         return STGCNBlock(out_c, A=A, stride=stride, residual=residual,
                           gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
                           tcn_kwargs=FrozenDict(tcn_kwargs), name=f"block{i}")
+
+
+class STGIN(_BackboneBase):
+    """ST-GIN backbone (reference stgin.py:74-162): the STGCN stage plan with
+    edge-representation blocks.  Spatial edges start as pairwise coordinate
+    differences, temporal edges as frame diffs through a 1x1 embed
+    (stgin.py:149-156).  Only the committed-working configuration
+    (gcn_type='unit_gcnedge', tcn_type='unit_tcnedge') exists; with the
+    default gcn_type='unit_gcn' the reference block crashes
+    (unit_gcn.forward takes 2-3 args, stgin.py:66)."""
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        n, m, t, v, c = x.shape
+        graph = self._graph()
+        A = graph.A.astype(np.float32)
+        x = DataBN(self.data_bn_type, name="data_bn")(x, train=train)
+        x = x.reshape(n * m, t, v, c)
+
+        # spatial edges: x_u - x_v (stgin.py:149-151)
+        edge_s = x[:, :, :, None, :] - x[:, :, None, :, :]   # (NM,T,V,V,C)
+        # temporal edges: forward diff, last frame zero, 1x1 embed (:153-156)
+        diff = jnp.concatenate(
+            [jnp.diff(x, axis=1), jnp.zeros_like(x[:, :1])], axis=1)
+        edge_t = PointConv(self.base_channels, name="edge_conv")(diff)
+
+        lw = split_stage_kwargs(self.block_args, self.num_stages)
+        lw[0].pop("tcn_dropout", None)
+        plan = stage_plan(self.in_channels, self.base_channels, self.ch_ratio,
+                          self.num_stages, self.inflate_stages,
+                          self.down_stages)
+        offset = self.num_stages - len(plan)
+        for i, (in_c, out_c, stride, residual) in enumerate(plan):
+            kwargs = dict(lw[i + offset])
+            gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
+            gcn_kwargs.pop("type", None)
+            tcn_kwargs.pop("type", None)
+            x, edge_t, edge_s = STGINBlock(
+                out_c, A=A, stride=stride, residual=residual,
+                gcn_kwargs=FrozenDict(gcn_kwargs),
+                tcn_kwargs=FrozenDict(tcn_kwargs),
+                name=f"block{i}")(x, edge_t, edge_s, train=train)
+        return x.reshape((n, m) + x.shape[1:])
+
+
+class GTGCN(_BackboneBase):
+    """Graph-transformer GCN backbone (reference gtgcn.py:68-141): STGCN
+    stage plan with unit_gtgcn spatial units (semantic k/q attention over
+    node/edge types)."""
+
+    def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
+        kwargs.pop("_lw_index", None)
+        gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
+        tcn_type = tcn_kwargs.pop("type", "unit_tcn")
+        gcn_kwargs.pop("type", None)
+        nt = np.array(graph.node_type) if graph.node_type is not None else None
+        return GTGCNBlock(out_c, A=A, stride=stride, residual=residual,
+                          edge_type=graph.edge_type, node_type=nt,
+                          gcn_kwargs=FrozenDict(gcn_kwargs),
+                          tcn_type=tcn_type,
+                          tcn_kwargs=FrozenDict(tcn_kwargs),
+                          name=f"block{i}")
 
 
 class AAGCN(_BackboneBase):

@@ -12,7 +12,7 @@ from typing import Any, Dict
 from flax.core import FrozenDict
 
 from ..graph import GraphConfig
-from .backbones import AAGCN, CTRGCN, DGSTGCN, STGCN
+from .backbones import AAGCN, CTRGCN, DGSTGCN, GTGCN, STGCN, STGIN
 from .cnns import (C3D, PoTion, RecognizerPoseC3D, ResNet3d, ResNet3dSlowFast,
                    ResNet3dSlowOnly, RGBPoseConv3D, X3D)
 from .heads import (ClsHead, GCHead, GCNHead, HGTHead, RGBPoseHead,
@@ -23,6 +23,9 @@ from .recognizer import (MMRecognizer3D, Recognizer2D, Recognizer3D,
 
 BACKBONES = {
     "STGCN": STGCN,
+    "MEGASTGCN": STGCN,
+    "GTGCN": GTGCN,
+    "STGIN": STGIN,
     "AAGCN": AAGCN,
     "CTRGCN": CTRGCN,
     "DGSTGCN": DGSTGCN,

@@ -977,3 +977,219 @@ def _gate(gates: Array, K: int, sem: int, norm: int, subset_wise: bool) -> Array
         return gates[0]
     return _gate_vec(gates, K, sem, norm,
                      subset_wise)[None, :, None, None, None, None]
+
+
+class GTGC(nn.Module):
+    """Graph-transformer graph conv (reference GTGC, gcn.py:1054-1222).
+
+    Heterogeneous mutual attention: per-(subset, node-type) key/query
+    projections are semantically gathered per joint, time-averaged, and their
+    pairwise difference forms an edge-attention field (optionally refined by
+    per-edge-class projections).  ``A_eff = alpha * edge_att + A (+ beta *
+    global k.q attention)``; aggregation contracts the source-joint axis of
+    the pre-projected features against A_eff per (subset, channel).
+    """
+    out_channels: int
+    edge_attention: bool = False
+    target_specific: bool = False
+    num_types: int = 5
+    reduce: int = 8
+    edge_num: int = 15
+    global_attention: bool = False
+    node_type: Optional[np.ndarray] = None
+    edge_type: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, x: Array, A: Array, *, train: bool) -> Array:
+        n, t, v, c = x.shape
+        K = A.shape[0]
+        Cm = self.out_channels // self.reduce
+        P = self.num_types
+        acc = accum_dtype(x.dtype)
+
+        pre = PointConv(K * Cm, name="pre_conv")(x)
+        pre = BatchNorm(name="pre_bn")(pre, use_running_average=not train)
+        pre = jax.nn.relu(pre).reshape(n, t, v, K, Cm)
+
+        # (N, T, V, K, Cm, P): torch channel order ((k*Cm + c)*P + p)
+        # (gcn.py:1094-1095 view(B, K, Cm, P, T, V))
+        k_all = PointConv(K * Cm * P, name="k_linears")(x).reshape(
+            n, t, v, K, Cm, P)
+        q_all = PointConv(K * Cm * P, name="q_linears")(x).reshape(
+            n, t, v, K, Cm, P)
+        nt_oh = jnp.asarray(np.eye(P, dtype=np.float32)[
+            np.asarray(self.node_type)], x.dtype)        # (V, P)
+        # semantic gather + time mean (gcn.py:1096-1099) -> (N, K, Cm, V)
+        k_sem = jnp.einsum("ntvkcp,vp->nkcv", k_all, nt_oh,
+                           preferred_element_type=acc).astype(x.dtype) / t
+        q_sem = jnp.einsum("ntvkcp,vp->nkcv", q_all, nt_oh,
+                           preferred_element_type=acc).astype(x.dtype) / t
+
+        # diff[b,k,c,u,w] = k[u] - q[w] (gcn.py:1106)
+        diff = k_sem[..., :, None] - q_sem[..., None, :]
+
+        if self.edge_attention:
+            # per-edge-class projection of the diff field (gcn.py:1168-1178)
+            flat = jnp.moveaxis(diff, (1, 2), (3, 4)).reshape(
+                n, v, v, K * Cm)
+            es = PointConv(K * self.edge_num * Cm, name="edge_linears")(flat)
+            es = es.reshape(n, v, v, K, self.edge_num, Cm)
+            eo = jnp.asarray(np.eye(self.edge_num, dtype=np.float32)[
+                np.asarray(self.edge_type, np.int64)], x.dtype)   # (V, V, E)
+            edge_att = jnp.einsum("nuwkec,uwe->nkcuw", es, eo,
+                                  preferred_element_type=acc).astype(x.dtype)
+        else:
+            edge_att = jax.nn.relu(diff)                 # (gcn.py:1196)
+
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (1,))
+        A_eff = edge_att * alpha[0] + A[None, :, None].astype(x.dtype)
+        if self.global_attention:
+            beta = self.param("beta", nn.initializers.zeros_init(), (1,))
+            glo = jnp.einsum("nkcv,nkcw->nkvw", k_sem, q_sem,
+                             preferred_element_type=acc).astype(x.dtype)
+            A_eff = A_eff + glo[:, :, None] * beta[0]
+
+        # aggregate source joints u (gcn.py:1212/1219)
+        y = jnp.einsum("ntukc,nkcuv->ntvkc", pre, A_eff,
+                       preferred_element_type=acc).astype(x.dtype)
+        y = y.reshape(n, t, v, K * Cm)
+        if self.target_specific:
+            y = PointConv(P * self.out_channels, name="out_linears")(y)
+            y = y.reshape(n, t, v, P, self.out_channels)
+            y = jnp.einsum("ntvpo,vp->ntvo", y, nt_oh,
+                           preferred_element_type=acc).astype(x.dtype)
+        else:
+            y = PointConv(self.out_channels, name="out_linears")(y)
+        return y
+
+
+class UnitGTGCN(nn.Module):
+    """unit_gtgcn (reference gcn.py:1224-1294): GTGC + BN + residual-down +
+    ReLU, with adaptive A handling (init: trained A; offset/importance: a
+    (V, V) PA broadcast-added/multiplied; the forward's A argument is always
+    shadowed by the module's own A, gcn.py:1281-1284)."""
+    out_channels: int
+    A_init: np.ndarray
+    adaptive: Optional[str] = "init"
+    edge_attention: bool = False
+    target_specific: bool = False
+    global_attention: bool = False
+    num_types: int = 5
+    reduce: int = 8
+    edge_num: int = 15
+    residual: bool = True
+    node_type: Optional[np.ndarray] = None
+    edge_type: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        assert self.adaptive in (None, "init", "offset", "importance")
+        A0 = jnp.asarray(self.A_init, jnp.float32)
+        if self.adaptive == "init":
+            A = self.param("A", lambda k, s: A0, A0.shape)
+        elif self.adaptive == "offset":
+            PA = self.param("PA", nn.initializers.uniform(2e-6), A0.shape[1:])
+            A = A0 + (PA - 1e-6)
+        elif self.adaptive == "importance":
+            PA = self.param("PA", nn.initializers.ones_init(), A0.shape[1:])
+            A = A0 * PA
+        else:
+            A = A0
+        y = GTGC(self.out_channels, edge_attention=self.edge_attention,
+                 target_specific=self.target_specific,
+                 global_attention=self.global_attention,
+                 num_types=self.num_types, reduce=self.reduce,
+                 edge_num=self.edge_num, node_type=self.node_type,
+                 edge_type=self.edge_type, name="convs")(x, A, train=train)
+        y = BatchNorm(name="bn")(y, use_running_average=not train)
+        if self.residual:
+            if x.shape[-1] != self.out_channels:
+                d = PointConv(self.out_channels, name="down_conv")(x)
+                d = BatchNorm(name="down_bn")(d, use_running_average=not train)
+            else:
+                d = x
+            y = y + d
+        return jax.nn.relu(y)
+
+
+class UnitGCNEdge(nn.Module):
+    """unit_gcnedge (reference gcn.py:212-323): graph conv with explicit edge
+    representations.
+
+    Spatial edges carry features e[u, v]; each layer concatenates
+    (x_u, x_v, e_uv), projects per subset, aggregates nodes via A and edges
+    via an A-weighted sum over targets, and re-emits updated spatial and
+    temporal edge representations.  Only ``conv_pos='pre'`` is implemented —
+    the reference's 'post' branch is internally shape-inconsistent
+    (gcn.py:298-305: (n,K,c,t,w) + (n,c,t,v,w)) and unused by STGIN.
+
+    NOTE (faithful quirk): the reference reuses ONE BatchNorm for the node
+    output, the spatial-edge output, and the temporal-edge output
+    (gcn.py:313); in train mode torch updates its running stats three times
+    per step, whereas here the last write wins — eval-mode behavior (and
+    weight-copy parity) is identical.
+    """
+    out_channels: int
+    A_init: np.ndarray
+    adaptive: Optional[str] = "importance"
+    conv_pos: str = "pre"
+    with_res: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, edge_s: Array, edge_t: Array, *,
+                 train: bool):
+        assert self.conv_pos == "pre", \
+            "reference 'post' branch is dead code (gcn.py:298-305)"
+        n, t, v, c = x.shape
+        K = self.A_init.shape[0]
+        acc = accum_dtype(x.dtype)
+        A0 = jnp.asarray(self.A_init, jnp.float32)
+        if self.adaptive == "init":
+            A = self.param("A", lambda k, s: A0, A0.shape)
+        elif self.adaptive == "offset":
+            PA = self.param("PA", nn.initializers.uniform(2e-6), A0.shape)
+            A = A0 + (PA - 1e-6)
+        elif self.adaptive == "importance":
+            PA = self.param("PA", nn.initializers.ones_init(), A0.shape)
+            A = A0 * PA
+        else:
+            A = A0
+        A = A.astype(x.dtype)
+
+        res = 0.0
+        if self.with_res:
+            if c != self.out_channels:
+                d = PointConv(self.out_channels, name="down_conv")(x)
+                res = BatchNorm(name="down_bn")(d,
+                                                use_running_average=not train)
+            else:
+                res = x
+
+        # (x_u, x_v, e_uv) concat (node_edge_node, gcn.py:318-323)
+        e = edge_s.reshape(n, t, v, v, c)
+        xu = jnp.broadcast_to(x[:, :, :, None, :], (n, t, v, v, c))
+        xv = jnp.broadcast_to(x[:, :, None, :, :], (n, t, v, v, c))
+        edge_cat = jnp.concatenate([xu, xv, e], axis=-1)
+
+        node = PointConv(self.out_channels * K, name="conv")(x)
+        node = node.reshape(n, t, v, K, self.out_channels)
+        efull = PointConv(self.out_channels * K, name="edge_conv")(edge_cat)
+        efull = efull.reshape(n, t, v, v, K, self.out_channels)
+
+        node_only = jnp.einsum("ntvko,kvw->ntwo", node, A,
+                               preferred_element_type=acc).astype(x.dtype)
+        edge_only = jnp.einsum("ntvwko,kvw->ntvo", efull, A,
+                               preferred_element_type=acc).astype(x.dtype)
+        y = node_only + edge_only
+
+        edge_s_out = efull.sum(axis=4)                   # (n, t, v, v, out)
+
+        if edge_t.shape[-1] != self.out_channels:
+            edge_t = PointConv(self.out_channels, name="edge_conv_T")(edge_t)
+
+        bn = BatchNorm(name="bn")
+        y = jax.nn.relu(bn(y, use_running_average=not train) + res)
+        es = jax.nn.relu(bn(edge_s_out.reshape(n, t, v * v, -1),
+                            use_running_average=not train))
+        et = jax.nn.relu(bn(edge_t, use_running_average=not train))
+        return y, es.reshape(n, t, v, v, -1), et

@@ -321,3 +321,50 @@ class CTRMSTCN(nn.Module):
         if self.tcn_dropout > 0:
             out = nn.Dropout(self.tcn_dropout, deterministic=not train)(out)
         return out
+
+
+class UnitTCNEdge(nn.Module):
+    """unit_tcnedge (reference tcn.py:39-103): temporal conv that fuses the
+    temporal-edge representation into the node stream and re-emits updated
+    temporal edges; the spatial-edge stream is time-strided to match.
+
+    Faithful quirks: the node output passes the shared BN twice
+    (tcn.py:85/97), and the 'node_remove' stream zeroes only frame 0.
+    """
+    out_channels: int
+    kernel_size: int = 9
+    stride: int = 1
+    dilation: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, edge_t: Array, edge_s: Array, *,
+                 train: bool):
+        n, t, v, c = x.shape
+        bn = BatchNorm(name="bn")
+        drop = (lambda h: nn.Dropout(self.dropout,
+                                     deterministic=not train)(h)) \
+            if self.dropout > 0 else (lambda h: h)
+
+        node = TemporalConv(self.out_channels, self.kernel_size, self.stride,
+                            self.dilation, name="conv")(x + edge_t)
+        node = drop(bn(node, use_running_average=not train))
+
+        node_remove = x.at[:, 0].set(0.0) if t > 0 else x
+        edge_cat = jnp.concatenate([x, edge_t, node_remove], axis=-1)
+        edge_out = TemporalConv(self.out_channels, self.kernel_size,
+                                self.stride, self.dilation,
+                                name="edge_conv")(edge_cat)
+
+        if edge_s.shape[1] != node.shape[1]:
+            ns, ts = edge_s.shape[0], edge_s.shape[1]
+            flat = edge_s.reshape(ns, ts, -1, edge_s.shape[-1])
+            flat = TemporalConv(self.out_channels, self.kernel_size,
+                                self.stride, self.dilation,
+                                name="edge_conv_S")(flat)
+            flat = drop(bn(flat, use_running_average=not train))
+            edge_s = flat.reshape(ns, flat.shape[1], v, v, -1)
+
+        return (drop(bn(node, use_running_average=not train)),
+                drop(bn(edge_out, use_running_average=not train)),
+                edge_s)
