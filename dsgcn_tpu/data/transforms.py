@@ -281,6 +281,47 @@ BONE_PAIRS = {
 }
 
 
+class GaussAug:
+    """Probabilistic Gaussian keypoint jitter (reference pose_related.py:83-104).
+
+    Faithful quirk: the reference writes the augmented array back to the
+    misspelled key ``results['keyoint']`` (pose_related.py:102), so the
+    augmentation never reaches the model; reproduced bit-for-bit (the typo key
+    is populated, 'keypoint' is untouched).
+    """
+    randomized = True
+
+    def __init__(self, thr=0.5, ratio=1e-2):
+        self.thr = thr
+        self.ratio = ratio
+
+    def __call__(self, results: Dict, rng) -> Dict:
+        if rng.rand() > self.thr:
+            kp = results["keypoint"]
+            n, t, v, c = kp.shape
+            aug = rng.multivariate_normal(
+                np.zeros(c), np.eye(c) * self.ratio,
+                kp.reshape(-1, c).shape[0]).reshape(n, t, v, c)
+            results["keyoint"] = kp + aug     # sic (pose_related.py:102)
+        return results
+
+
+class Causalmetrix:
+    """Percentile-threshold a precomputed causality matrix
+    (reference pose_related.py:106-127; the in-pipeline pTE computation is
+    commented out upstream — ``results['causal']`` arrives precomputed)."""
+    randomized = False
+
+    def __init__(self, thr=75):
+        self.thr = thr
+
+    def __call__(self, results: Dict) -> Dict:
+        causal = results["causal"]
+        causal[causal < np.percentile(causal, self.thr)] = 0
+        results["causal"] = causal
+        return results
+
+
 class JointToBone:
     """Joint -> bone vectors via dataset kinematic pairs (pose_related.py:340-373)."""
     randomized = False
@@ -605,7 +646,8 @@ def _heatmap_transforms():
 TRANSFORMS = {c.__name__: c for c in
               [PreNormalize3D, PreNormalize2D, RandomRot, RandomScale,
                RandomGaussianNoise, JointToBone, ToMotion, MergeSkeFeat,
-               GenSkeFeat, UniformSampleFrames, UniformSample,
+               GenSkeFeat, GaussAug, Causalmetrix,
+               UniformSampleFrames, UniformSample,
                UniformSampleOrder, PoseDecode,
                PadTo, FormatGCNInput, Collect, Rename]
               + _heatmap_transforms()}

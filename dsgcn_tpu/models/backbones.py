@@ -146,11 +146,12 @@ class STGCNBlock(nn.Module):
     tcn_kwargs: FrozenDict = FrozenDict()
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, *, train: bool,
+                 A_ext: Optional[Array] = None) -> Array:
         res = ResidualTCN(self.out_channels, self.stride, self.residual,
                           name="residual")(x, train=train)
         y = UnitGCN(self.out_channels, A_init=self.A, name="gcn",
-                    **self.gcn_kwargs)(x, train=train)
+                    **self.gcn_kwargs)(x, train=train, A_ext=A_ext)
         y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
                       dict(self.tcn_kwargs))(y, train=train)
         return jax.nn.relu(y + res)
@@ -444,6 +445,40 @@ class STGIN(_BackboneBase):
                 gcn_kwargs=FrozenDict(gcn_kwargs),
                 tcn_kwargs=FrozenDict(tcn_kwargs),
                 name=f"block{i}")(x, edge_t, edge_s, train=train)
+        return x.reshape((n, m) + x.shape[1:])
+
+
+class STGCNGC(_BackboneBase):
+    """STGCN_GC (reference stgcn_gc.py:68-149): the STGCN trunk with an
+    externally supplied adjacency fed to every block's unit_gcn
+    (e.g. a Granger-causality matrix from the Causalmetrix pipeline,
+    pose_related.py:107).  Requires gcn_adaptive in (None, 'offset',
+    'importance') — the reference crashes with the default 'init'
+    (gcn.py:57-58 assigns the fed tensor onto an nn.Parameter)."""
+
+    @nn.compact
+    def __call__(self, x: Array, A_ext: Array, *, train: bool) -> Array:
+        n, m, t, v, c = x.shape
+        graph = self._graph()
+        A = graph.A.astype(np.float32)
+        x = DataBN(self.data_bn_type, name="data_bn")(x, train=train)
+        x = x.reshape(n * m, t, v, c)
+        lw = split_stage_kwargs(self.block_args, self.num_stages)
+        lw[0].pop("tcn_dropout", None)
+        plan = stage_plan(self.in_channels, self.base_channels, self.ch_ratio,
+                          self.num_stages, self.inflate_stages,
+                          self.down_stages)
+        offset = self.num_stages - len(plan)
+        for i, (in_c, out_c, stride, residual) in enumerate(plan):
+            kwargs = dict(lw[i + offset])
+            gcn_kwargs, tcn_kwargs = route_prefix(kwargs)
+            tcn_type = tcn_kwargs.pop("type", "unit_tcn")
+            gcn_kwargs.pop("type", None)
+            x = STGCNBlock(out_c, A=A, stride=stride, residual=residual,
+                           gcn_kwargs=FrozenDict(gcn_kwargs),
+                           tcn_type=tcn_type,
+                           tcn_kwargs=FrozenDict(tcn_kwargs),
+                           name=f"block{i}")(x, train=train, A_ext=A_ext)
         return x.reshape((n, m) + x.shape[1:])
 
 

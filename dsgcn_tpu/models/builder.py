@@ -12,7 +12,8 @@ from typing import Any, Dict
 from flax.core import FrozenDict
 
 from ..graph import GraphConfig
-from .backbones import AAGCN, CTRGCN, DGSTGCN, GTGCN, STGCN, STGIN
+from .backbones import (AAGCN, CTRGCN, DGSTGCN, GTGCN, STGCN, STGCNGC,
+                        STGIN)
 from .cnns import (C3D, PoTion, RecognizerPoseC3D, ResNet3d, ResNet3dSlowFast,
                    ResNet3dSlowOnly, RGBPoseConv3D, X3D)
 from .heads import (ClsHead, GCHead, GCNHead, HGTHead, RGBPoseHead,
@@ -26,6 +27,7 @@ BACKBONES = {
     "MEGASTGCN": STGCN,
     "GTGCN": GTGCN,
     "STGIN": STGIN,
+    "STGCN_GC": STGCNGC,
     "AAGCN": AAGCN,
     "CTRGCN": CTRGCN,
     "DGSTGCN": DGSTGCN,

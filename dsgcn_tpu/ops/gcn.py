@@ -79,7 +79,8 @@ class UnitGCN(nn.Module):
     with_res: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, *, train: bool,
+                 A_ext: Optional[Array] = None) -> Array:
         assert self.adaptive in (None, "init", "offset", "importance")
         assert self.conv_pos in ("pre", "post")
         K, V, _ = self.A_init.shape
@@ -94,9 +95,14 @@ class UnitGCN(nn.Module):
                 res = x
 
         if self.adaptive == "init":
+            # reference: feeding a runtime A into an adaptive='init' unit_gcn
+            # raises (gcn.py:57-58 assigns a plain tensor to a Parameter)
+            assert A_ext is None, \
+                "external A requires adaptive in (None, offset, importance)"
             A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
         else:
-            A = jnp.asarray(self.A_init, jnp.float32)
+            A = jnp.asarray(self.A_init, jnp.float32) if A_ext is None \
+                else A_ext.astype(jnp.float32)
             if self.adaptive == "offset":
                 PA = self.param("PA", nn.initializers.uniform(2e-6), (K, V, V))
                 A = A + (PA - 1e-6)  # uniform(0, 2e-6) shifted to U(-1e-6, 1e-6)

@@ -215,3 +215,90 @@ def test_stgin_backbone_parity():
     got = np.asarray(our.apply({"params": params, "batch_stats": stats},
                                jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_stgcn_gc_backbone_parity():
+    """STGCN_GC: STGCN trunk fed an external (causality) adjacency
+    (stgcn_gc.py:68-149).  Works only with gcn_adaptive in (None, 'offset',
+    'importance'): the default 'init' crashes (unit_gcn.forward assigns the
+    fed tensor onto nn.Parameter A, gcn.py:57-58)."""
+    refmod = ref_loader.load_ref_gcn_module("stgcn_gc")
+    torch.manual_seed(0)
+
+    with pytest.raises(TypeError):
+        bad = refmod.STGCN_GC(
+            graph_cfg=dict(layout="nturgb+d", mode="spatial"), num_stages=3,
+            inflate_stages=[2], down_stages=[2])
+        bad(torch.zeros(1, 2, 8, 25, 3), torch.zeros(3, 25, 25))
+
+    ref = refmod.STGCN_GC(graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+                          gcn_adaptive=None, num_stages=3,
+                          inflate_stages=[2], down_stages=[2])
+    tb.randomize_all_bns(ref, RNG)
+    ref.eval()
+
+    our = build_backbone(dict(
+        type="STGCN_GC", gcn_adaptive=None, num_stages=3,
+        inflate_stages=[2], down_stages=[2],
+        graph_cfg=dict(layout="nturgb+d", mode="spatial")))
+
+    params = {"data_bn": {"bn": tb.plain_bn_p(ref.data_bn)}}
+    stats = {"data_bn": {"bn": tb.plain_bn_s(ref.data_bn)}}
+    import torch.nn as nn
+    for i, blk in enumerate(ref.gcn):
+        bp = {"gcn": {"conv": tb.dense_p(blk.gcn.conv),
+                      "bn": tb.bn_p(blk.gcn.bn)},
+              "tcn": {"conv": tb.tconv_p(blk.tcn.conv),
+                      "bn": tb.bn_p(blk.tcn.bn)}}
+        bs = {"gcn": {"bn": tb.bn_s(blk.gcn.bn)},
+              "tcn": {"bn": tb.bn_s(blk.tcn.bn)}}
+        if isinstance(blk.residual, nn.Module):
+            rp, rs = tb.unit_tcn_vars(blk.residual)
+            bp["residual"] = {"down": rp}
+            bs["residual"] = {"down": rs}
+        params[f"block{i}"], stats[f"block{i}"] = bp, bs
+
+    x = RNG.standard_normal((1, 2, 8, 25, 3)).astype(np.float32)
+    A_ext = np.abs(RNG.standard_normal((3, 25, 25))).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = tb.t2n(ref(torch.tensor(np.ascontiguousarray(x)),
+                          torch.tensor(A_ext)))
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(our.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(x), jnp.asarray(A_ext),
+                               train=False))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_stgcn_causal_is_dead_code():
+    """STGCN_causal (STGCN_causal.py:70-152) is dead as committed: its block
+    unpacks `x, causal_loss = self.gcn(x, A)` (STGCN_causal.py:63) but the
+    only allowed gcn types return a single tensor, so forward fails for any
+    batch size (tensor mis-unpacking then 3D input into BatchNorm2d)."""
+    refmod = ref_loader.load_ref_gcn_module("STGCN_causal")
+    torch.manual_seed(0)
+    ref = refmod.STGCN_causal(
+        graph_cfg=dict(layout="nturgb+d", mode="spatial"), num_stages=3,
+        inflate_stages=[2], down_stages=[2])
+    ref.eval()
+    with pytest.raises((ValueError, RuntimeError)):
+        with torch.no_grad():
+            ref(torch.zeros(1, 2, 8, 25, 3))
+
+
+def test_causal_transforms():
+    """Causalmetrix percentile threshold parity (pose_related.py:106-127) and
+    GaussAug's faithful 'keyoint' typo (pose_related.py:83-104)."""
+    import ref_loader as rl
+    pipelines = rl.load_ref_pipelines()
+    pr = pipelines["pose_related"]
+    from dsgcn_tpu.data.transforms import Causalmetrix, GaussAug
+
+    causal = np.abs(RNG.standard_normal((25, 25))).astype(np.float64)
+    want = pr.Causalmetrix(thr=75)(dict(causal=causal.copy()))["causal"]
+    got = Causalmetrix(thr=75)(dict(causal=causal.copy()))["causal"]
+    np.testing.assert_allclose(got, want)
+
+    res = dict(keypoint=np.zeros((1, 4, 25, 3), np.float32))
+    out = GaussAug(thr=0.0)(dict(res), np.random.RandomState(1))
+    assert "keyoint" in out and out["keypoint"].sum() == 0
