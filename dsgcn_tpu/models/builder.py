@@ -12,6 +12,7 @@ from typing import Any, Dict
 from flax.core import FrozenDict
 
 from ..graph import GraphConfig
+from ..ops.causal import GCComponent, GCGCN
 from .backbones import (AAGCN, CTRGCN, DGSTGCN, GTGCN, STGCN, STGCNGC,
                         STGIN)
 from .cnns import (C3D, PoTion, RecognizerPoseC3D, ResNet3d, ResNet3dSlowFast,
@@ -28,6 +29,8 @@ BACKBONES = {
     "GTGCN": GTGCN,
     "STGIN": STGIN,
     "STGCN_GC": STGCNGC,
+    "GCGCN": GCGCN,
+    "GCGCN_component": GCComponent,
     "AAGCN": AAGCN,
     "CTRGCN": CTRGCN,
     "DGSTGCN": DGSTGCN,
@@ -43,7 +46,7 @@ BACKBONES = {
 }
 
 # backbones configured by plain dataclass fields (no gcn_/tcn_ stage routing)
-_PLAIN_BACKBONES = ("MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly",
+_PLAIN_BACKBONES = ("GCGCN", "GCGCN_component", "MSG3D", "SGN", "ResNet3d", "ResNet3dSlowOnly",
                     "ResNet3dSlowFast", "X3D", "C3D", "PoTion",
                     "RGBPoseConv3D")
 
