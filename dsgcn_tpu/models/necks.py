@@ -6,7 +6,7 @@ readouts).
 """
 from __future__ import annotations
 
-
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,3 +74,256 @@ def build_neck(cfg):
     cfg = dict(cfg)
     typ = cfg.pop("type")
     return NECKS[typ](**cfg)
+
+
+class CMLP(nn.Module):
+    """Neural-GC cMLP (reference necks/causalnn.py:8-96): one small causal MLP
+    per joint — Conv1d(V -> hidden, k=lag) then 1x1 layers down to 1."""
+    num_series: int = 25
+    lag: int = 9
+    hidden: Tuple[int, ...] = (100,)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        """x: (B, T, V) -> per-joint one-step predictions (B, T-lag+1, V)."""
+        from ..ops.common import accum_dtype, torch_default_kernel, \
+            torch_default_bias
+        b, t, v = x.shape
+        h0 = self.hidden[0]
+        acc = accum_dtype(x.dtype)
+        w0 = self.param("l0_w", torch_default_kernel(),
+                        (v, h0, v, self.lag))     # per-target first layers
+        b0 = self.param("l0_b", torch_default_bias(v * self.lag), (v, h0))
+        xn = jnp.transpose(x, (0, 2, 1))          # (B, V, T)
+        y = jax.lax.conv_general_dilated(
+            xn, w0.reshape(v * h0, v, self.lag).astype(x.dtype),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=acc).astype(x.dtype)
+        y = y + b0.reshape(v * h0).astype(x.dtype)[None, :, None]
+        y = y.reshape(b, v, h0, -1)
+        prev = h0
+        for li, ch in enumerate(tuple(self.hidden[1:]) + (1,)):
+            y = jax.nn.relu(y)
+            w = self.param(f"l{li + 1}_w", torch_default_kernel(),
+                           (v, ch, prev))
+            bb = self.param(f"l{li + 1}_b", torch_default_bias(prev), (v, ch))
+            y = jnp.einsum("bvct,voc->bvot", y, w,
+                           preferred_element_type=acc).astype(x.dtype) \
+                + bb[None, :, :, None]
+            prev = ch
+        return jnp.transpose(y[:, :, 0, :], (0, 2, 1))   # (B, T', V)
+
+    def ridge(self, params, lam: float):
+        """Ridge on all post-first layers (causalnn.py:96-98), summed over
+        the V per-joint networks."""
+        total = 0.0
+        for k, p in params.items():
+            if k.endswith("_w") and not k.startswith("l0"):
+                total = total + (p ** 2).sum()
+        return lam * total
+
+
+class CausalNeck(nn.Module):
+    """CausalNeck (reference necks/Causal_neck.py:16-130): SimpleHead-style
+    pooling that also returns the raw feature, an auxiliary per-joint
+    body-part classifier, and a Neural-GC smoothness cost over a cMLP bank."""
+    in_channels: int
+    dropout: float = 0.5
+    mode: str = "GCN"
+    num_series: int = 25
+    lag: int = 9
+    lam_ridge: float = 1e-2
+
+    def setup(self):
+        self.fc_cls = nn.Dense(5,
+                               kernel_init=nn.initializers.normal(0.01),
+                               name="fc_cls")
+        self.cmlp = CMLP(self.num_series, self.lag, (100,), name="cMLP")
+
+    def __call__(self, x: Array, *, train: bool):
+        """x: (N, M, T, V, C) -> (pooled (N, C), feature)."""
+        feature = x
+        pooled = x.mean(axis=(2, 3)).mean(axis=1)
+        return pooled, feature
+
+    def node_precost(self, x: Array, node_type) -> Array:
+        """Per-joint body-part CE, mean (Causal_neck.py:97-111)."""
+        n, m, t, v, c = x.shape
+        h = x.mean(axis=2).reshape(-1, c)          # (N*M*V, C)
+        logits = self.fc_cls(h)
+        labels = jnp.tile(jnp.asarray(node_type, jnp.int32), n * m)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+    def init_components(self, x: Array, node_type):
+        """Trace every submodule once (for .init); returns all outputs."""
+        out = self(x, train=False)
+        return out, self.node_precost(x, node_type), self.gc_cost(x)
+
+    def gc_cost(self, x: Array) -> Array:
+        """Neural-GC smooth loss: per-joint one-step prediction MSE + ridge
+        (Causal_neck.py:112-126).  x: (N, M, T, V, C) person-meaned."""
+        h = x.mean(axis=1)                         # (N, T, V, C)
+        n, t, v, c = h.shape
+        series = jnp.transpose(h, (0, 3, 1, 2)).reshape(-1, t, v)
+        pred = self.cmlp(series[:, :-1])           # (B, T-lag, V)
+        target = series[:, self.lag:]
+        loss = jnp.mean((pred - target) ** 2, axis=(0, 1)).sum()
+        ridge = self.cmlp.ridge(
+            self.variables["params"]["cMLP"], self.lam_ridge)
+        return loss + ridge
+
+
+def _segment_softmax(score: Array, seg: Array, num_segments: int) -> Array:
+    smax = jax.ops.segment_max(score, seg, num_segments)
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    e = jnp.exp(score - smax[seg])
+    denom = jax.ops.segment_sum(e, seg, num_segments)
+    return e / (denom[seg] + 1e-16)
+
+
+class PretrainNeck(nn.Module):
+    """Hierarchical prototype readout for masked-pretraining
+    (reference necks/pre_train.py:17-259).
+
+    Rows (one per (sample, frame, joint)) are assigned to the nearest
+    prototype by cosine distance per hierarchy level, pooled per
+    (sample, prototype) segment with the chosen readout, and the level's
+    soft-min distance is the alignment cost.  Also exposes the reference's
+    contrastive (intra/inter NCE) and masked node-type losses.
+
+    Faithful quirks: the reference's prototypes are a plain python list of
+    nn.Parameters — never registered, so they stay frozen at their random
+    init (pre_train.py:56-60); here they are proper (trainable) params.  The
+    batch rebuild hardcodes 0.4 while segment sizes use ``declay``
+    (pre_train.py:113-118) — faithful, so declay != 0.4 scrambles segments
+    exactly as upstream.  node_precost's mask arithmetic only lines up for
+    T == 1 inputs (pre_train.py:159-174).
+    """
+    in_channels: int
+    num_position: int
+    read_op: str = "mean"
+    num_hierarchy: int = 3
+    declay: float = 0.4
+    gamma: float = 0.1
+
+    def setup(self):
+        self.protos = [
+            self.param(f"proto{i}",
+                       nn.initializers.xavier_normal(),
+                       (int(self.num_position * self.declay ** i),
+                        self.in_channels))
+            for i in range(self.num_hierarchy)]
+        if self.read_op == "attention":
+            self.gate = nn.Dense(1, name="gate")
+        self.fc_cls = nn.Dense(5, kernel_init=nn.initializers.normal(0.01),
+                               name="fc_cls")
+
+    def _gread(self, x, seg, num_segments):
+        if self.read_op == "sum":
+            return jax.ops.segment_sum(x, seg, num_segments)
+        if self.read_op == "mean":
+            s = jax.ops.segment_sum(x, seg, num_segments)
+            cnt = jax.ops.segment_sum(jnp.ones(x.shape[0]), seg, num_segments)
+            return s / jnp.maximum(cnt, 1.0)[:, None]
+        if self.read_op == "max":
+            m = jax.ops.segment_max(x, seg, num_segments)
+            return jnp.where(jnp.isfinite(m), m, 0.0)
+        if self.read_op == "attention":
+            w = _segment_softmax(self.gate(x)[:, 0], seg, num_segments)
+            return jax.ops.segment_sum(x * w[:, None], seg, num_segments)
+        raise ValueError(self.read_op)
+
+    def _assign(self, x, level):
+        p = self.protos[level]
+        xn = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-8)
+        pn = p / (jnp.linalg.norm(p, axis=1, keepdims=True) + 1e-8)
+        d = 1.0 - xn @ pn.T
+        return d, jnp.argmin(d, axis=1)
+
+    def _rows(self, x):
+        n, m, t, v, c = x.shape
+        h = x.mean(axis=1)                       # person mean (pre_train:104)
+        rows = h.reshape(n * t * v, c)           # (n, t, v) row order
+        batch = jnp.repeat(jnp.arange(n), t * v)
+        return rows, batch, n
+
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        rows, batch, n = self._rows(x)
+        for i in range(self.num_hierarchy):
+            p_i = int(self.num_position * self.declay ** i)
+            _, idx = self._assign(rows, i)
+            seg = p_i * batch + idx
+            rows = self._gread(rows, seg, p_i * n)
+            p_re = int(self.num_position * 0.4 ** i)   # sic (pre_train:116)
+            batch = jnp.minimum(jnp.arange(rows.shape[0]) // max(p_re, 1),
+                                n - 1)
+        p_last = int(self.num_position * 0.4 ** (self.num_hierarchy - 1))
+        return rows.reshape(n, p_last, -1).mean(axis=1)
+
+    def init_components(self, x, node_type, mask):
+        return (self(x, train=False), self.get_aligncost(x),
+                self.node_precost(x, node_type, mask),
+                self.get_intracost(x, x), self.get_intercost(x, x))
+
+    def get_aligncost(self, x: Array):
+        """Per-level soft-min prototype distance, summed (pre_train:185-240)."""
+        rows, batch, n = self._rows(x)
+        total = 0.0
+        for i in range(self.num_hierarchy):
+            p_i = int(self.num_position * self.declay ** i)
+            d, idx = self._assign(rows, i)
+            if self.gamma == 0:
+                dmin = d.min(axis=1)
+            else:
+                dmin = -self.gamma * jnp.log(
+                    jnp.exp(-d / self.gamma).sum(axis=1) + 1e-12)
+            total = total + jax.ops.segment_sum(dmin, batch, n).mean()
+            seg = p_i * batch + idx
+            rows = self._gread(rows, seg, p_i * n)
+            p_re = int(self.num_position * 0.4 ** i)
+            batch = jnp.minimum(jnp.arange(rows.shape[0]) // max(p_re, 1),
+                                n - 1)
+        return total
+
+    def node_precost(self, x: Array, node_type, mask: Array) -> Array:
+        """Masked per-joint body-part CE (pre_train:159-174; the reference's
+        mask arithmetic requires T == 1)."""
+        n, m, t, v, c = x.shape
+        h = x.mean(axis=2).reshape(-1, c)
+        logits = self.fc_cls(h)
+        labels = jnp.tile(jnp.asarray(node_type, jnp.int32), n * m)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        mk = mask[:, :, 0].reshape(-1).astype(jnp.float32)
+        return (per * mk).sum() / (mk.sum() + 1e-12)
+
+    def get_intracost(self, x: Array, x_modify: Array, tau: float = 0.1):
+        """Row-level NCE between a clip and its augmentation
+        (pre_train:128-141).
+
+        Faithful quirk: the reference einsum is ``'bnc,bmt->bnm'``
+        (pre_train.py:133) — the mislabeled ``t`` makes it an OUTER PRODUCT
+        of per-row channel sums rather than an inner product; reproduced."""
+        n, m, t, v, c = x.shape
+        a = x.reshape(n * m, t * v, c)
+        b = x_modify.reshape(n * m, t * v, c)
+        sim = a.sum(-1)[:, :, None] * b.sum(-1)[:, None, :]
+        sim = sim / (jnp.linalg.norm(sim, axis=1, keepdims=True) + 1e-12)
+        sim = jnp.exp(sim / tau)
+        eye = jnp.eye(sim.shape[1])[None]
+        pos = (sim * eye).sum(axis=1) / (sim.sum(axis=1) + 1e-6)
+        return -jnp.log(pos + 1e-12).mean()
+
+    def get_intercost(self, x: Array, x_modify: Array, tau: float = 0.1):
+        """Clip-level NCE (pre_train:143-157)."""
+        a = x.mean(axis=(2, 3)).mean(axis=1)
+        b = x_modify.mean(axis=(2, 3)).mean(axis=1)
+        sim = jnp.einsum("bc,dc->bd", a, b)
+        sim = sim / (jnp.linalg.norm(sim, axis=1, keepdims=True) + 1e-12)
+        sim = jnp.exp(sim / tau)
+        eye = jnp.eye(sim.shape[0])
+        pos = (sim * eye).sum(axis=0)
+        neg = (sim * (1 - eye)).sum(axis=0)
+        return -jnp.log(pos / (pos + neg + 1e-6) + 1e-12).mean()

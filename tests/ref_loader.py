@@ -124,6 +124,7 @@ def _install_stubs():
         Swish=Swish,
         kaiming_init=kaiming_init,
         constant_init=constant_init,
+        xavier_init=lambda m, **k: nn.init.xavier_normal_(m.weight),
     )
     mmcv = _ensure_stub_module("mmcv", cnn=mmcv_cnn, __version__="1.9.9-stub")
 
@@ -373,3 +374,62 @@ def load_ref_gcn_module(name):
     """Import an arbitrary reference gcns/<name>.py (e.g. 'msg3d', 'sgn')."""
     load_ref_backbones()
     return importlib.import_module(f"refpyskl.models.gcns.{name}")
+
+
+def load_ref_necks():
+    """Import reference necks (Simple_neck, Causal_neck+causalnn, pre_train)."""
+    load_ref_heads()   # torch_geometric/torch_scatter stubs + builder.build_loss
+    import numpy as _np
+
+    def scatter_add(src, index, dim=0, dim_size=None):
+        import torch
+        size = int(index.max().item() + 1) if dim_size is None else dim_size
+        shape = list(src.shape)
+        shape[dim] = size
+        out = torch.zeros(*shape, dtype=src.dtype)
+        return out.index_add_(dim, index, src)
+
+    def scatter(src, index, dim=0, dim_size=None, reduce="add"):
+        import torch
+        size = int(index.max().item() + 1) if dim_size is None else dim_size
+        shape = list(src.shape)
+        shape[dim] = size
+        if reduce in ("add", "sum"):
+            out = torch.zeros(*shape, dtype=src.dtype)
+            return out.index_add_(dim, index, src)
+        if reduce == "mean":
+            out = torch.zeros(*shape, dtype=src.dtype)
+            out.index_add_(dim, index, src)
+            cnt = torch.zeros(size, dtype=src.dtype).index_add_(
+                0, index, torch.ones(src.shape[dim], dtype=src.dtype))
+            cnt = cnt.clamp(min=1)
+            view = [1] * src.dim()
+            view[dim] = size
+            return out / cnt.reshape(view) if dim == 0 else out
+        if reduce == "max":
+            out = torch.full(shape, float("-inf"), dtype=src.dtype)
+            out = out.index_reduce_(dim, index, src, "amax",
+                                    include_self=True)
+            out[out == float("-inf")] = 0
+            return out
+        raise NotImplementedError(reduce)
+
+    _ensure_stub_module("torch_scatter", scatter_add=scatter_add,
+                        scatter=scatter)
+    _ensure_stub_module("scipy.spatial")
+    builder = sys.modules["refpyskl.models.builder"]
+    if not hasattr(builder, "NECKS"):
+        class _Registry:
+            def register_module(self, *a, **k):
+                def deco(cls):
+                    return cls
+                return deco
+        builder.NECKS = _Registry()
+    _ensure_pkg("refpyskl.models.necks", f"{REF}/pyskl/models/necks")
+    causal = importlib.import_module("refpyskl.models.necks.Causal_neck")
+    # pre_train imports the real torch_geometric-free gread module
+    _ensure_stub_module("xml.dom", HierarchyRequestErr=Exception)
+    pre = importlib.import_module("refpyskl.models.necks.pre_train")
+    return dict(causal=causal, pre_train=pre,
+                causalnn=importlib.import_module(
+                    "refpyskl.models.necks.causalnn"))
