@@ -198,8 +198,8 @@ class PretrainNeck(nn.Module):
     init (pre_train.py:56-60); here they are proper (trainable) params.  The
     batch rebuild hardcodes 0.4 while segment sizes use ``declay``
     (pre_train.py:113-118) — faithful, so declay != 0.4 scrambles segments
-    exactly as upstream.  node_precost's mask arithmetic only lines up for
-    T == 1 inputs (pre_train.py:159-174).
+    exactly as upstream.  node_precost's mask contract is a (N, M, T, V, 1)
+    joint-validity mask whose t=0 slice is used (pre_train.py:171-173).
     """
     in_channels: int
     num_position: int
@@ -288,8 +288,8 @@ class PretrainNeck(nn.Module):
         return total
 
     def node_precost(self, x: Array, node_type, mask: Array) -> Array:
-        """Masked per-joint body-part CE (pre_train:159-174; the reference's
-        mask arithmetic requires T == 1)."""
+        """Masked per-joint body-part CE (pre_train:159-174); ``mask`` is
+        (N, M, T, V, 1) — the t=0 slice gates each joint's loss."""
         n, m, t, v, c = x.shape
         h = x.mean(axis=2).reshape(-1, c)
         logits = self.fc_cls(h)
