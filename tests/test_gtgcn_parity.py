@@ -302,3 +302,23 @@ def test_causal_transforms():
     res = dict(keypoint=np.zeros((1, 4, 25, 3), np.float32))
     out = GaussAug(thr=0.0)(dict(res), np.random.RandomState(1))
     assert "keyoint" in out and out["keypoint"].sum() == 0
+
+
+def test_pte_parity():
+    """Phase-transfer-entropy matrix parity (pipelines/causal.py:30-58)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_causal", "/root/reference/pyskl/datasets/pipelines/causal.py")
+    refc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refc)
+    from dsgcn_tpu.data.causal_pte import pte
+
+    z = RNG.standard_normal((6, 2, 60))
+    # make series causally coupled so determinants stay positive
+    z[1, :, 1:] += 0.5 * z[0, :, :-1]
+    want = refc.pTE(z.copy(), lag=1, model_order=2, to_norm=True)
+    got = pte(z.copy(), lag=1, model_order=2, to_norm=True)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+    want2 = refc.pTE(z.copy(), model_order=1)
+    got2 = pte(z.copy(), model_order=1)
+    np.testing.assert_allclose(got2, want2, rtol=1e-8, atol=1e-10)
