@@ -1,14 +1,11 @@
 """Classification heads (reference pyskl/models/heads/simple_head.py)."""
 from __future__ import annotations
 
-import math
-
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.common import Array, torch_default_bias
+from ..ops.common import Array
 
 
 class GCNHead(nn.Module):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .common import (Array, BatchNorm, PointConv, TemporalConv, accum_dtype,
+from .common import (Array, BatchNorm, PointConv, accum_dtype,
                      bn_scale_init, branch_init, kaiming_normal_fan_out,
                      torch_default_bias, torch_default_kernel)
 
