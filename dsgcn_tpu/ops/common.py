@@ -163,12 +163,37 @@ class BatchNorm(nn.Module):
     def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        # BN statistics in at least fp32 (bf16 activations are upcast; f64
-        # stays f64); output cast back to the act dtype
-        y = nn.BatchNorm(
-            use_running_average=ura, momentum=0.9, epsilon=1e-5,
-            scale_init=self.scale_init, bias_init=self.bias_init,
-            name="bn")(x.astype(accum_dtype(x.dtype)))
+        # Same variable layout/semantics as delegating to flax nn.BatchNorm on
+        # an accum-dtype input (stats math in >= fp32, flax reduction order,
+        # biased variance, momentum meaning keep=0.9), but the eval path folds
+        # the normalization into one per-channel affine applied in the
+        # ACTIVATION dtype: in bf16 inference this avoids two full-tensor
+        # f32 materializations per BN (HBM-bandwidth bound on TPU).
+        feat = x.shape[-1]
+        acc = accum_dtype(x.dtype)
+        scope = self.scope.push("bn")
+        scale = scope.param("scale", self.scale_init, (feat,))
+        bias = scope.param("bias", self.bias_init, (feat,))
+        ra_mean = scope.variable("batch_stats", "mean",
+                                 lambda: jnp.zeros(feat, jnp.float32))
+        ra_var = scope.variable("batch_stats", "var",
+                                lambda: jnp.ones(feat, jnp.float32))
+        eps = 1e-5
+        if ura:
+            a = jax.lax.rsqrt(ra_var.value.astype(acc) + eps) \
+                * scale.astype(acc)
+            b = bias.astype(acc) - ra_mean.value.astype(acc) * a
+            return x * a.astype(x.dtype) + b.astype(x.dtype)
+        xm = x.astype(acc)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xm, axes)
+        mean2 = jnp.mean(jax.lax.square(xm), axes)
+        var = mean2 - jax.lax.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        mul = jax.lax.rsqrt(var + eps) * scale.astype(acc)
+        y = (xm - mean) * mul + bias.astype(acc)
         return y.astype(x.dtype)
 
 
