@@ -236,3 +236,56 @@ def rerandomize_tree(rng, params, sparsity, **kw):
         return leaf
 
     return jax.tree_util.tree_map_with_path(visit, params)
+
+
+# ---------------------------------------------------------------------------
+# global-threshold supermasks (reference sparse_mosules.py GetSubnet :41-54 +
+# CTRGCN_sparse.get_threshold/percentile, ctrgcn_sparse.py:145-157): one
+# percentile threshold over a POOL of score tensors, applied to every layer
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def supermask_at(score: Array, threshold) -> Array:
+    """mask = (score >= threshold), straight-through to score
+    (GetSubnet with an externally supplied threshold)."""
+    return (score >= threshold).astype(score.dtype)
+
+
+def _supermask_at_fwd(score, threshold):
+    return supermask_at(score, threshold), None
+
+
+def _supermask_at_bwd(_, g):
+    return g, None
+
+
+supermask_at.defvjp(_supermask_at_fwd, _supermask_at_bwd)
+
+
+def torch_percentile(t: Array, q) -> Array:
+    """torch kthvalue percentile (ctrgcn_sparse.py:155-157):
+    k = 1 + round(0.01 * q * (n - 1)); returns the k-th smallest."""
+    flat = jnp.sort(t.reshape(-1))
+    n = flat.shape[0]
+    k = 1 + jnp.round(0.01 * q * (n - 1)).astype(jnp.int32)
+    return flat[jnp.clip(k - 1, 0, n - 1)]
+
+
+def pooled_threshold(score_leaves, sparsity) -> Array:
+    """Global percentile threshold over concatenated score tensors
+    (get_threshold, ctrgcn_sparse.py:145-153)."""
+    flat = jnp.concatenate([s.reshape(-1) for s in score_leaves])
+    return torch_percentile(flat, sparsity * 100.0)
+
+
+def sparsity_schedule(linear_sparsity: float, current_epoch, max_epoch,
+                      warm_up: int = 0, sparse_decay: bool = False):
+    """CTRGCN_sparse.forward's sparsity schedule (ctrgcn_sparse.py:122-132)."""
+    if current_epoch < warm_up:
+        return 0.0
+    if sparse_decay:
+        if current_epoch < max_epoch / 2.0:
+            return get_sparsity(linear_sparsity, current_epoch, 0,
+                                max_epoch / 2.0)
+        return linear_sparsity
+    return linear_sparsity
