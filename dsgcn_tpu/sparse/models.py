@@ -347,3 +347,113 @@ class SparseCTRGCN(nn.Module):
             thr = pooled_threshold(pool, sparsity)
             x = blk(x, thr, train=train)
         return x.reshape((n, m) + x.shape[1:])
+
+
+class SparseUnitGCNAt(nn.Module):
+    """unit_gcn_sparse (gcn_sparse.py:23-99): pre-conv supermasked at the
+    stage threshold, subset einsum against a trained A, BN + ReLU."""
+    out_channels: int
+    A_init: np.ndarray
+    adaptive: Optional[str] = "init"
+
+    @nn.compact
+    def __call__(self, x: Array, threshold, *, train: bool) -> Array:
+        K = self.A_init.shape[0]
+        n, t, v, c = x.shape
+        assert self.adaptive == "init", \
+            "reference STGCN_sparse uses the default adaptive='init'"
+        A = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        y = SparseDenseAt(self.out_channels * K, name="conv")(x, threshold)
+        y = y.reshape(n, t, v, K, self.out_channels)
+        y = jnp.einsum("ntvkc,kvw->ntwc", y, A.astype(x.dtype),
+                       preferred_element_type=accum_dtype(x.dtype)
+                       ).astype(x.dtype)
+        y = BatchNorm(name="bn")(y, use_running_average=not train)
+        return jax.nn.relu(y)
+
+
+class SparseSTGCNBlockExact(nn.Module):
+    """STGCN_sparse block (stgcn_sparse.py:20-76)."""
+    out_channels: int
+    A: np.ndarray
+    stride: int = 1
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, threshold, *, train: bool) -> Array:
+        y = SparseUnitGCNAt(self.out_channels, A_init=self.A,
+                            name="gcn")(x, threshold, train=train)
+        y = SparseTemporalConvAt(self.out_channels, kernel_size=9,
+                                 stride=self.stride,
+                                 name="tcn_conv")(y, threshold)
+        y = BatchNorm(name="tcn_bn")(y, use_running_average=not train)
+        if not self.residual:
+            res = 0.0
+        elif x.shape[-1] == self.out_channels and self.stride == 1:
+            res = x
+        else:
+            # faithful quirk: the reference calls self.residual(x) WITHOUT the
+            # stage threshold (stgcn_sparse.py:72), so the residual conv is
+            # masked at threshold 0 (scores >= 0), not the sparsity target
+            r = SparseTemporalConvAt(self.out_channels, kernel_size=1,
+                                     stride=self.stride,
+                                     name="residual")(x, 0.0)
+            res = BatchNorm(name="residual_bn")(
+                r, use_running_average=not train)
+        return jax.nn.relu(y + res)
+
+
+def _all_score_pool(block_params):
+    leaves = []
+
+    def visit(path, leaf):
+        if str(getattr(path[-1], "key", "")) == "score":
+            leaves.append(leaf)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, block_params)
+    return leaves
+
+
+class SparseSTGCNExact(nn.Module):
+    """STGCN_sparse backbone with the reference's global per-stage percentile
+    thresholds (stgcn_sparse.py:78-212; all of the stage's scores pool, since
+    every sparse conv shares the configured ratio).  The committed default
+    gcn_type='unit_gcn' is unusable (plain unit_gcn rejects sparse_ratio,
+    stgcn_sparse.py:41); the working configuration is
+    gcn_type='unit_gcn_sparse' + tcn_type='unit_tcn_sparse'."""
+    graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="spatial")
+    in_channels: int = 3
+    base_channels: int = 64
+    num_person: int = 2
+    num_stages: int = 10
+    inflate_stages: Tuple[int, ...] = (5, 8)
+    down_stages: Tuple[int, ...] = (5, 8)
+    linear_sparsity: float = 0.0
+    warm_up: int = 0
+    sparse_decay: bool = False
+
+    def epoch_sparsity(self, current_epoch, max_epoch):
+        return sparsity_schedule(self.linear_sparsity, current_epoch,
+                                 max_epoch, self.warm_up, self.sparse_decay)
+
+    @nn.compact
+    def __call__(self, x: Array, sparsity, *, train: bool) -> Array:
+        n, m, t, v, c = x.shape
+        graph = Graph.from_config(self.graph_cfg)
+        A = graph.A.astype(np.float32)
+        x = DataBN("VC", name="data_bn")(x, train=train)
+        x = x.reshape(n * m, t, v, c)
+        plan = stage_plan(self.in_channels, self.base_channels, 2,
+                          self.num_stages, self.inflate_stages,
+                          self.down_stages)
+        for i, (in_c, out_c, stride, residual) in enumerate(plan):
+            blk = SparseSTGCNBlockExact(out_c, A=A, stride=stride,
+                                        residual=residual, name=f"block{i}")
+            if self.is_initializing():
+                x = blk(x, jnp.float32(-jnp.inf), train=train)
+                continue
+            pool = _all_score_pool(self.variables["params"][f"block{i}"])
+            thr = pooled_threshold(pool, sparsity)
+            x = blk(x, thr, train=train)
+        return x.reshape((n, m) + x.shape[1:])

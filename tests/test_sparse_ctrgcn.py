@@ -128,3 +128,69 @@ def test_torch_percentile_parity():
         want = tt.view(-1).kthvalue(k).values.item()
         got = float(torch_percentile(jnp.asarray(t), q))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_sparse_stgcn_exact_backbone_parity():
+    """STGCN_sparse global-threshold backbone parity (stgcn_sparse.py:78-212);
+    default gcn_type='unit_gcn' documented dead (rejects sparse_ratio)."""
+    refmod = ref_loader.load_ref_gcn_module("stgcn_sparse")
+    torch.manual_seed(0)
+
+    with pytest.raises(TypeError):
+        refmod.STGCN_sparse(graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+                            gcn_sparse_ratio=0.5, tcn_sparse_ratio=0.5)
+
+    ref = refmod.STGCN_sparse(
+        graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+        gcn_type="unit_gcn_sparse", tcn_type="unit_tcn_sparse",
+        gcn_sparse_ratio=0.5, tcn_sparse_ratio=0.5, linear_sparsity=0.5,
+        num_stages=3, inflate_stages=[2], down_stages=[2])
+    _randomize_scores(ref)
+    tb.randomize_all_bns(ref, RNG)
+    ref.eval()
+
+    from dsgcn_tpu.sparse.models import SparseSTGCNExact
+    our = SparseSTGCNExact(num_stages=3, inflate_stages=(2,),
+                           down_stages=(2,), linear_sparsity=0.5)
+
+    params = {"data_bn": {"bn": tb.plain_bn_p(ref.data_bn)}}
+    stats = {"data_bn": {"bn": tb.plain_bn_s(ref.data_bn)}}
+    import torch.nn as nn
+    for i, blk in enumerate(ref.gcn):
+        bp = {"gcn": {"A": jnp.asarray(tb.t2n(blk.gcn.A)),
+                      "conv": _sparse_dense(blk.gcn.conv),
+                      "bn": tb.bn_p(blk.gcn.bn)},
+              "tcn_conv": _sparse_tconv(blk.tcn.conv),
+              "tcn_bn": tb.bn_p(blk.tcn.bn)}
+        bs = {"gcn": {"bn": tb.bn_s(blk.gcn.bn)},
+              "tcn_bn": tb.bn_s(blk.tcn.bn)}
+        if isinstance(blk.residual, nn.Module):
+            bp["residual"] = _sparse_tconv(blk.residual.conv)
+            bp["residual_bn"] = tb.bn_p(blk.residual.bn)
+            bs["residual_bn"] = tb.bn_s(blk.residual.bn)
+        params[f"block{i}"], stats[f"block{i}"] = bp, bs
+
+    x = RNG.standard_normal((1, 2, 8, 25, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tb.t2n(ref(torch.tensor(np.ascontiguousarray(x)), 10, 80))
+    want = np.transpose(want, (0, 1, 3, 4, 2))
+    got = np.asarray(our.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(x), 0.5, train=False))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_unit_aagcn_sparse_is_dead_code():
+    """gcn_sparse.unit_aagcn_sparse (102-205) is dead: forward calls its
+    SparseConv2d layers without the mandatory threshold argument
+    (gcn_sparse.py:186-198 vs sparse_mosules.py:203), so every call raises;
+    its down-projection also mismatches channels (inter vs out,
+    gcn_sparse.py:146-150)."""
+    import importlib
+    ref_loader.load_ref_ops()
+    gs = importlib.import_module("refops.gcn_sparse")
+    torch.manual_seed(0)
+    A = torch.eye(25).unsqueeze(0).repeat(3, 1, 1)
+    mod = gs.unit_aagcn_sparse(16, 16, A, sparse_ratio=0.5)
+    with pytest.raises(TypeError):
+        with torch.no_grad():
+            mod(torch.zeros(1, 16, 8, 25))
