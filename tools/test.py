@@ -32,6 +32,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # honor JAX_PLATFORMS even though the environment's sitecustomize
+    # imports jax before env vars can take effect (axon tunnel quirk)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax
     import jax.numpy as jnp
     from dsgcn_tpu.configs.config import Config
@@ -41,7 +46,7 @@ def main():
     from dsgcn_tpu.data.dataset import Loader, PoseDataset
     from dsgcn_tpu.models.builder import build_model
     from dsgcn_tpu.models.recognizer import average_clip
-    from dsgcn_tpu.parallel.mesh import make_mesh
+    from dsgcn_tpu.parallel.mesh import make_mesh, replicate
     from dsgcn_tpu.parallel.train import make_dp_eval_step
 
     cfg = Config.fromfile(args.config)
@@ -64,6 +69,7 @@ def main():
     print(f"loaded step={int(state.step)} meta={meta}")
 
     mesh = make_mesh()
+    state = replicate(state, mesh)   # restored arrays live on one device
     fwd = make_dp_eval_step(mesh, model.apply)
     n_data = mesh.shape["data"]
 

@@ -68,6 +68,11 @@ def build_loaders(cfg, seed):
 
 def main():
     args = parse_args()
+    # honor JAX_PLATFORMS even though the environment's sitecustomize
+    # imports jax before env vars can take effect (axon tunnel quirk)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if os.environ.get("JAX_COORDINATOR"):
         import jax
         jax.distributed.initialize()
