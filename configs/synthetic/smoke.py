@@ -29,7 +29,7 @@ val_pipeline = [
     dict(type='Collect', keys=['keypoint', 'label']),
 ]
 data = dict(
-    videos_per_gpu=16,
+    videos_per_gpu=2,   # per-device; x local devices = host batch
     workers_per_gpu=4,
     train=dict(type='PoseDataset', ann_file='data/synth.pkl',
                pipeline=train_pipeline, split='train'),

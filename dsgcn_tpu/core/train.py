@@ -148,9 +148,10 @@ def loss_and_metrics(apply_fn, params, batch_stats, batch: Mapping[str, Array],
                      dropout_rng: Optional[jax.Array] = None):
     """Forward + CE loss + on-device top-k (reference heads/base.py:50-84)."""
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    x = batch["keypoint"] if "keypoint" in batch else batch["imgs"]
     logits, mutated = apply_fn(
         {"params": params, "batch_stats": batch_stats},
-        batch["keypoint"], train=True, mutable=["batch_stats"], rngs=rngs)
+        x, train=True, mutable=["batch_stats"], rngs=rngs)
     label = batch["label"]
     loss = cross_entropy(logits, label)
     metrics = dict(

@@ -76,8 +76,9 @@ class Trainer:
 
         if input_shape is None:
             probe = next(iter(train_loader.epoch(0)))
-            kp = probe["keypoint"]
-            input_shape = (1,) + kp.shape[2:] if kp.ndim == 6 else (1,) + kp.shape[1:]
+            kp = probe["keypoint" if "keypoint" in probe else "imgs"]
+            squeezed = "keypoint" in probe and kp.ndim == 6
+            input_shape = (1,) + kp.shape[2:] if squeezed else (1,) + kp.shape[1:]
         sample = jnp.zeros(input_shape, jnp.float32)
         params, stats = init_model(model, jax.random.PRNGKey(seed), sample)
         tx, self.lr_sched = make_optimizer(
@@ -103,10 +104,11 @@ class Trainer:
 
     @staticmethod
     def _squeeze_clip(batch):
-        kp = batch["keypoint"]
-        if kp.ndim == 6:   # (N, nc=1, M, T, V, C) -> (N, M, T, V, C)
-            kp = kp[:, 0]
-        return dict(keypoint=kp, label=batch["label"])
+        key = "keypoint" if "keypoint" in batch else "imgs"
+        kp = batch[key]
+        if key == "keypoint" and kp.ndim == 6:
+            kp = kp[:, 0]   # (N, nc=1, M, T, V, C) -> (N, M, T, V, C)
+        return {key: kp, "label": batch["label"]}
 
     def fit(self):
         for epoch in range(self.start_epoch, self.total_epochs):
@@ -158,7 +160,9 @@ class Trainer:
             folded = kp.reshape((n * nc,) + kp.shape[2:])
             pad = (-len(folded)) % n_data
             if pad:
-                folded = np.concatenate([folded, folded[:pad]], axis=0)
+                # wrap-around as many times as needed (the final batch can
+                # hold fewer folded clips than the mesh data axis)
+                folded = folded[np.arange(len(folded) + pad) % len(folded)]
             logits = self.eval_fwd(self.state.params, self.state.batch_stats,
                                    jnp.asarray(folded))
             logits = np.asarray(logits)[: n * nc].reshape(n, nc, -1)

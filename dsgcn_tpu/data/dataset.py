@@ -326,6 +326,38 @@ def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
     return data
 
 
+def build_dataset(dcfg: Dict, test_mode: bool = False):
+    """Config-dict dataset factory (reference datasets/builder.py:42
+    build_dataset): dispatches on ``type`` over every dataset class and the
+    Repeat/Concat wrappers, so CLIs work for any committed config (skeleton,
+    gesture, heatmap-volume, video)."""
+    dcfg = dict(dcfg)
+    typ = dcfg.pop("type", "PoseDataset")
+    if typ == "RepeatDataset":
+        times = dcfg.pop("times", 1)
+        return RepeatDataset(build_dataset(dcfg.pop("dataset"), test_mode),
+                             times)
+    if typ == "ConcatDataset":
+        return ConcatDataset([build_dataset(d, test_mode)
+                              for d in dcfg.pop("datasets")])
+    if typ == "GestureDataset":
+        return GestureDataset(
+            dcfg["ann_file"], dcfg["pipeline"], split=dcfg["split"],
+            valid_frames_thr=dcfg.get("valid_frames_thr", 0),
+            squeeze=dcfg.get("squeeze", True),
+            mode=dcfg.get("mode", "2D"), subset=dcfg.get("subset"),
+            test_mode=test_mode)
+    if typ == "VideoDataset":
+        return VideoDataset(dcfg["ann_file"], dcfg["pipeline"],
+                            data_prefix=dcfg.get("data_prefix", ""),
+                            test_mode=test_mode)
+    assert typ == "PoseDataset", f"unknown dataset type {typ!r}"
+    return PoseDataset(dcfg["ann_file"], dcfg["pipeline"],
+                       split=dcfg.get("split"),
+                       valid_ratio=dcfg.get("valid_ratio"),
+                       box_thr=dcfg.get("box_thr"), test_mode=test_mode)
+
+
 class VideoDataset:
     """Text-annotation dataset: one "<filename> <label>" per line (reference
     datasets/video_dataset.py:9).  Samples carry the filename for a video

@@ -22,7 +22,7 @@ from flax import linen as nn
 from flax.core import FrozenDict
 
 from ..graph import Graph, GraphConfig
-from ..ops.common import Array, PointConv
+from ..ops.common import Array, PointConv, TorchBN
 from ..ops.gcn import (DGGCN, DGHGCN, DGPHGCN1, UnitAAGCN, UnitAAHGCN,
                        UnitGCNEdge, UnitGTGCN,
                        UnitCTRGCN, UnitCTRHGCN, UnitGCN)
@@ -69,7 +69,7 @@ class DataBN(nn.Module):
         if self.kind is None:
             return x
         n, m, t, v, c = x.shape
-        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bn = TorchBN(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, name="bn")
         if self.kind == "MVC":
             y = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(n, t, m * v * c)

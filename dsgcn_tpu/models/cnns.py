@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.common import Array
+from ..ops.common import Array, TorchBN
 
 
 def _triple(x):
@@ -45,7 +45,7 @@ class ConvBN3d(nn.Module):
                         2.0, "fan_out", "normal"),
                     name="conv")(x)
         if self.with_bn:
-            y = nn.BatchNorm(
+            y = TorchBN(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 scale_init=(nn.initializers.zeros_init() if self.zero_gamma
                             else nn.initializers.ones_init()),
@@ -369,7 +369,7 @@ class ConvBN2d(nn.Module):
                     padding=pad, use_bias=False, dtype=x.dtype,
                     kernel_init=nn.initializers.variance_scaling(
                         2.0, "fan_out", "normal"), name="conv")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBN(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(y.astype(jnp.float32))
         return jax.nn.relu(y.astype(x.dtype))
 

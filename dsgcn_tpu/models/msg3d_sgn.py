@@ -9,7 +9,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..graph import Graph, GraphConfig
-from ..ops.common import Array, BatchNorm, PointConv
+from ..ops.common import Array, BatchNorm, PointConv, TorchBN
 from ..ops.msg3d import MLP, MSGCN, MWMSG3DBlock
 from ..ops.tcn import CTRMSTCN
 from .backbones import DataBN
@@ -132,7 +132,7 @@ class SGN(nn.Module):
         # BatchNorm1d(C*V) over (NM, C*V, T): feature order (c, v) (sgn.py:79-80)
         def cv_bn(name, arr):
             y = jnp.transpose(arr, (0, 1, 3, 2)).reshape(nm, t, c * v)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = TorchBN(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=name)(y)
             return jnp.transpose(y.reshape(nm, t, c, v), (0, 1, 3, 2))
 

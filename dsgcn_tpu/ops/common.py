@@ -190,11 +190,68 @@ class BatchNorm(nn.Module):
         mean2 = jnp.mean(jax.lax.square(xm), axes)
         var = mean2 - jax.lax.square(mean)
         if not self.is_initializing():
+            # torch updates the running var with the UNBIASED batch variance
+            # (Bessel n/(n-1)) while normalizing with the biased one
+            n = int(np.prod([x.shape[a] for a in axes]))
+            bessel = n / max(n - 1, 1)
             ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            ra_var.value = 0.9 * ra_var.value + 0.1 * (var * bessel)
         mul = jax.lax.rsqrt(var + eps) * scale.astype(acc)
         y = (xm - mean) * mul + bias.astype(acc)
         return y.astype(x.dtype)
+
+
+class TorchBN(nn.BatchNorm):
+    """flax BatchNorm with the torch running-var semantics: the running var
+    is updated with the UNBIASED (Bessel n/(n-1)) batch variance while the
+    normalization itself uses the biased one (torch BatchNorm1d/2d/3d).
+    Identical variable layout to flax nn.BatchNorm (drop-in, checkpoint
+    compatible)."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None, *,
+                 mask=None):
+        from flax.linen import normalization as fnorm
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+        stat_dtype = (jnp.float32 if self.force_float32_reductions
+                      else self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, stat_dtype),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, stat_dtype),
+                               feature_shape)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            if not self.force_float32_reductions:
+                mean = jnp.asarray(mean, self.param_dtype)
+                var = jnp.asarray(var, self.param_dtype)
+        else:
+            mean, var = fnorm._compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name if not self.is_initializing()
+                           else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            if not self.is_initializing():
+                n = int(np.prod([x.shape[a] for a in reduction_axes]))
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * (var * bessel))
+        return fnorm._normalize(
+            self, x, mean, var, reduction_axes, feature_axes, self.dtype,
+            self.param_dtype, self.epsilon, self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init, self.force_float32_reductions)
 
 
 def bn_scale_init(scale: float) -> Callable:

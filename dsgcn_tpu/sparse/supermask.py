@@ -145,16 +145,27 @@ def make_sparse_optimizer(main_tx: optax.GradientTransformation,
     return tx, gate_score_grads
 
 
-def group_lasso_penalty(params, weight: float = 1e-4) -> Array:
-    """Group-sparse group-lasso over masked kernels (reference
-    stgcn_sparse.py:225-263 'GSGL'): sum of L2 norms of each output-channel
-    group of every score-masked kernel."""
+def group_lasso_penalty(params, weight: float = 1e-4,
+                        sparsity=None) -> Array:
+    """Group lasso over supermasked kernels, in the spirit of the reference's
+    GSGL regularizer (stgcn_sparse.py:225-263 — which L2-norms the masked,
+    flattened weights per stage).  This functional variant penalizes each
+    output-channel group of every kernel that carries a sibling ``score``
+    leaf (i.e. only sparse layers); with ``sparsity`` given, the kernel is
+    masked by its supermask before the norm, as the reference masks weights
+    with ``get_mask`` before norming.  Finer grouping (per output channel vs
+    per stage) is a documented divergence, not reference parity."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    scores = {tuple(str(k) for k in p[:-1]): leaf for p, leaf in flat
+              if getattr(p[-1], "key", None) == "score"}
     total = 0.0
 
     def visit(path, leaf):
         nonlocal total
-        if any(getattr(p, "key", None) == "kernel" for p in path):
-            # sibling score => sparse layer; group = per output channel
+        key = tuple(str(k) for k in path[:-1])
+        if getattr(path[-1], "key", None) == "kernel" and key in scores:
+            if sparsity is not None:
+                leaf = leaf * supermask(scores[key], sparsity)
             flat = leaf.reshape(-1, leaf.shape[-1])
             total = total + jnp.sqrt(jnp.sum(flat ** 2, axis=0) + 1e-12).sum()
         return leaf

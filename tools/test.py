@@ -43,7 +43,7 @@ def main():
     from dsgcn_tpu.core.checkpoint import CheckpointManager
     from dsgcn_tpu.core.metrics import evaluate
     from dsgcn_tpu.core.train import TrainState, init_model, make_optimizer
-    from dsgcn_tpu.data.dataset import Loader, PoseDataset
+    from dsgcn_tpu.data.dataset import Loader, build_dataset
     from dsgcn_tpu.models.builder import build_model
     from dsgcn_tpu.models.recognizer import average_clip
     from dsgcn_tpu.parallel.mesh import make_mesh, replicate
@@ -51,15 +51,20 @@ def main():
 
     cfg = Config.fromfile(args.config)
     model = build_model(cfg["model"])
-    dcfg = dict(cfg["data"]["test"])
-    dcfg.pop("type", None)
-    ds = PoseDataset(dcfg["ann_file"], dcfg["pipeline"],
-                     split=dcfg.get("split"), test_mode=True)
-    bs = cfg["data"].get("test_dataloader", {}).get("videos_per_gpu", 16)
+    ds = build_dataset(cfg["data"]["test"], test_mode=True)
+    bs = cfg["data"].get("test_dataloader", {}).get(
+        "videos_per_gpu", 16) * jax.local_device_count()
     loader = Loader(ds, batch_size=bs, shuffle=False)
 
-    # restore
-    sample = jnp.zeros((1, 2, 8, 25, 3), jnp.float32)
+    # restore: the template's param/batch_stats shapes are inferred from one
+    # probe batch of the actual test pipeline, so non-NTU-shaped configs
+    # (hand layout V=21, heatmap volumes, ...) restore correctly.
+    probe = next(iter(loader.epoch(0)))
+    key = "keypoint" if "keypoint" in probe else "imgs"
+    x = probe[key]
+    # test batches are (N, nc, ...) clip-stacked; the model consumes (1, ...)
+    sample = jnp.zeros((1,) + x.shape[2:], jnp.float32) \
+        if x.ndim >= 4 else jnp.zeros((1,) + x.shape[1:], jnp.float32)
     params, stats = init_model(model, jax.random.PRNGKey(0), sample)
     tx, _ = make_optimizer(lr=0.1, total_steps=1)
     template = TrainState.create(model.apply, params, stats, tx)
@@ -75,12 +80,14 @@ def main():
 
     scores, labels = [], []
     for batch in loader.epoch(0):
-        kp = batch["keypoint"]
+        kp = batch[key]
         n, nc = kp.shape[:2]
         folded = kp.reshape((n * nc,) + kp.shape[2:])
         pad = (-len(folded)) % n_data
         if pad:
-            folded = np.concatenate([folded, folded[:pad]], axis=0)
+            # wrap-around as many times as needed (the final batch can be
+            # smaller than the mesh data axis)
+            folded = folded[np.arange(len(folded) + pad) % len(folded)]
         logits = np.asarray(fwd(state.params, state.batch_stats,
                                 jnp.asarray(folded)))[: n * nc]
         logits = logits.reshape(n, nc, -1)

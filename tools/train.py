@@ -28,40 +28,27 @@ def parse_args():
 
 def build_loaders(cfg, seed):
     import jax
-    from dsgcn_tpu.data.dataset import (ConcatDataset, GestureDataset, Loader,
-                                        PoseDataset, RepeatDataset)
-
-    def build_ds(dcfg, test_mode=False):
-        dcfg = dict(dcfg)
-        typ = dcfg.pop("type", "PoseDataset")
-        if typ == "RepeatDataset":
-            times = dcfg.pop("times", 1)
-            return RepeatDataset(build_ds(dcfg.pop("dataset"), test_mode), times)
-        if typ == "ConcatDataset":
-            return ConcatDataset([build_ds(d, test_mode)
-                                  for d in dcfg.pop("datasets")])
-        if typ == "GestureDataset":
-            return GestureDataset(
-                dcfg["ann_file"], dcfg["pipeline"], split=dcfg["split"],
-                valid_frames_thr=dcfg.get("valid_frames_thr", 0),
-                squeeze=dcfg.get("squeeze", True),
-                mode=dcfg.get("mode", "2D"), subset=dcfg.get("subset"),
-                test_mode=test_mode)
-        assert typ == "PoseDataset"
-        return PoseDataset(dcfg["ann_file"], dcfg["pipeline"],
-                           split=dcfg.get("split"), test_mode=test_mode)
+    from dsgcn_tpu.data.dataset import Loader, build_dataset
 
     data = cfg["data"]
     n_hosts, host = jax.process_count(), jax.process_index()
+    # videos_per_gpu is the reference's PER-DEVICE batch (16/GPU x 8 GPUs =>
+    # 128 global, lr tuned to that).  One process here drives all local chips,
+    # so the host-level loader batch must be per-device x local chips to keep
+    # the recipe's global batch and per-device BN statistics.
+    n_local = jax.local_device_count()
     bpg = data.get("videos_per_gpu", 16)
-    train = Loader(build_ds(data["train"]), batch_size=bpg, drop_last=True,
-                   seed=seed, shard=host, num_shards=n_hosts,
+    batch = bpg * n_local
+    print(f"batch: {bpg}/device x {n_local} local devices = {batch}/host "
+          f"({batch * n_hosts} global)", flush=True)
+    train = Loader(build_dataset(data["train"]), batch_size=batch,
+                   drop_last=True, seed=seed, shard=host, num_shards=n_hosts,
                    num_workers=data.get("workers_per_gpu", 8))
     val = None
     if "val" in data:
-        val = Loader(build_ds(data["val"], test_mode=True),
+        val = Loader(build_dataset(data["val"], test_mode=True),
                      batch_size=data.get("test_dataloader", {}).get(
-                         "videos_per_gpu", bpg),
+                         "videos_per_gpu", bpg) * n_local,
                      shuffle=False, num_workers=data.get("workers_per_gpu", 8))
     return train, val
 
