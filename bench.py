@@ -1,11 +1,18 @@
 """Benchmark: DGSTGCN-family inference + training throughput on one TPU chip.
 
-Headline metric mirrors the reference's published FPS setup
-(examples/inference_speed.ipynb: batch 16, M=2 persons, T=100, V=25, fp32):
-samples/sec for the DGSTGCN backbone vs the RTX 2080Ti number (409 FPS,
-BASELINE.md).  Extra fields report saturated-batch throughput (batch 1024 —
-small batches are dispatch-latency-bound on TPU), bf16 throughput, training
-clips/s/chip, and an edges/s rate for the DS-GCN dynamic-graph op.
+Timing protocol: every benched program returns a device-side SCALAR whose
+host fetch forces execution — on the remote-tunnel TPU platform,
+``jax.block_until_ready`` on a large output buffer returns before the
+computation finishes (verified: it "timed" an 8192^3 matmul at 25 PFLOP/s on
+a 197-TFLOP/s chip), so naive harnesses measure dispatch rate, not compute.
+Round-1 numbers (BENCH_r01) suffered exactly that; these are honest.
+
+Headline mirrors the reference's published FPS setup
+(examples/inference_speed.ipynb: batch 16, M=2, T=100, V=25, fp32) vs its
+RTX 2080Ti number (409 FPS, BASELINE.md).  Extra fields: saturated-batch
+fp32/bf16 throughput (params pre-cast to bf16 — the production inference
+path), XLA-vs-Pallas dynamic-graph comparison, training clips/s at b64 and
+saturated batch, achieved TFLOP/s + MFU from XLA's cost analysis, edges/s.
 
 Prints ONE JSON line.
 """
@@ -14,34 +21,39 @@ import time
 
 import numpy as np
 
+PEAK_TFLOPS = {  # dense MXU peak (bf16), per chip
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+}
 
-def _bench(fn, args, iters=30, warmup=2, reps=3):
-    """Best-of-reps mean iteration time (robust to transient TPU-tunnel
-    contention)."""
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    per = max(iters // reps, 1)
+
+def _bench_scalar(fn, args, iters=6, reps=3):
+    """Best-of-reps mean per-iteration seconds.  ``fn`` must return a scalar;
+    the float() fetch at the end of each rep forces the whole queued chain."""
+    s = float(fn(*args))   # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(per):
+        for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / per)
+        s = float(out)  # noqa: F841
+        best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 
 def main():
     import jax
-    # persistent compile cache: first run after a code change pays ~8 remote
-    # compiles (20-90s each on the TPU tunnel); later runs start warm
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from dsgcn_tpu.core.train import TrainState, make_optimizer, train_step
-    from dsgcn_tpu.models.builder import build_model, build_named_model, model_cfg
+    from dsgcn_tpu.models.builder import build_named_model
+    from dsgcn_tpu.models.recognizer import RecognizerGCN
+
+    dev = jax.devices()[0]
+    peak = PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), 197.0) * 1e12
 
     m, t, v, c = 2, 100, 25, 3
     rng = np.random.default_rng(0)
@@ -49,78 +61,76 @@ def main():
     x1k = jnp.asarray(rng.standard_normal((1024, m, t, v, c)).astype(np.float32))
 
     results = {}
-    variables_by_name = {}
-    # saturated batch: dgstgcn has K=8 subsets -> 4x the dynamic-graph memory
-    # of dsgcn; cap its batch to stay inside single-chip HBM
-    sat_batch = {"dgstgcn": 256, "dsgcn": 1024}
+    sat_batch = {"dgstgcn": 512, "dsgcn": 1024}
+    models = {}
     for name in ("dgstgcn", "dsgcn"):
+        # Pallas fused dynamic-graph kernel is the default on TPU
         model = build_named_model(name, num_classes=60)
         variables = model.init(jax.random.PRNGKey(0), x16[:2], train=False)
-        variables_by_name[name] = (model, variables)
-        fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False))
-        results[f"{name}_infer_fps_b16"] = 16 / _bench(
-            fwd, (variables, x16), iters=80, warmup=5, reps=5)
+        models[name] = (model, variables)
+        fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False).sum())
+        results[f"{name}_infer_fps_b16"] = 16 / _bench_scalar(
+            fwd, (variables, x16), iters=10, reps=3)
         sb = sat_batch[name]
-        results[f"{name}_infer_fps_b{sb}"] = sb / _bench(
-            fwd, (variables, x1k[:sb]), iters=9)
+        dt = _bench_scalar(fwd, (variables, x1k[:sb]), iters=4)
+        results[f"{name}_infer_fps_b{sb}"] = sb / dt
 
-        # training step throughput (clips/s/chip); batch 64 fits single-chip
-        # HBM without remat (the (N,K,Cm,V,V) dynamic-graph tensors pad 3-5x
-        # on the lane axis at V=25)
-        bs = 64
-        xb = x1k[:bs]
-        params, stats = variables["params"], variables.get("batch_stats", {})
-        tx, _ = make_optimizer(lr=0.1, total_steps=100)
-        state = TrainState.create(model.apply, params, stats, tx)
-        tb = dict(keypoint=xb, label=jnp.asarray(rng.integers(0, 60, size=bs)))
-        step = jax.jit(train_step)  # no donation: variables reused below
-        state, _ = step(state, tb, jax.random.PRNGKey(0))
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
+        # achieved rate + MFU from XLA's own FLOP count of the compiled fwd
+        comp = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)) \
+            .lower(variables, x1k[:sb]).compile()
+        flops = float(comp.cost_analysis().get("flops", 0.0))
+        results[f"{name}_infer_tflops"] = flops / dt / 1e12
+        results[f"{name}_infer_mfu_pct"] = 100.0 * flops / dt / peak
+
+        # training throughput (clips/s/chip): b64 (round-1 comparable) and
+        # saturated batch
+        for bs in (64, min(sb, 256)):
+            xb = x1k[:bs]
+            params, stats = variables["params"], variables.get("batch_stats", {})
+            tx, _ = make_optimizer(lr=0.1, total_steps=100)
+            state = TrainState.create(model.apply, params, stats, tx)
+            tb = dict(keypoint=xb,
+                      label=jnp.asarray(rng.integers(0, 60, size=bs)))
+            step = jax.jit(train_step)
             state, metrics = step(state, tb, jax.random.PRNGKey(0))
-        jax.block_until_ready(metrics)
-        results[f"{name}_train_clips_per_sec_b{bs}"] = bs * iters / (
-            time.perf_counter() - t0)
+            float(metrics["loss"])
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step(state, tb, jax.random.PRNGKey(0))
+            float(metrics["loss"])   # forces the whole dependent chain
+            results[f"{name}_train_clips_per_sec_b{bs}"] = bs * iters / (
+                time.perf_counter() - t0)
 
-    # fused Pallas dynamic-graph kernel path for the flagship
-    model_pl = build_named_model("dsgcn", num_classes=60, use_pallas=True)
-    _, variables = variables_by_name["dsgcn"]
-    fwd = jax.jit(lambda v_, x_: model_pl.apply(v_, x_, train=False))
-    results["dsgcn_infer_fps_b1024_pallas"] = 1024 / _bench(
-        fwd, (variables, x1k), iters=9)
+    # XLA (non-Pallas) dynamic-graph path for comparison
+    model, variables = models["dsgcn"]
+    model_xla = build_named_model("dsgcn", num_classes=60, use_pallas=False)
+    fwd = jax.jit(lambda v_, x_: model_xla.apply(v_, x_, train=False).sum())
+    results["dsgcn_infer_fps_b1024_xla"] = 1024 / _bench_scalar(
+        fwd, (variables, x1k), iters=3)
 
-    # fused-kernel training throughput (custom VJP: pallas fwd, XLA bwd)
-    from dsgcn_tpu.core.train import TrainState as _TS
-    tx2, _ = make_optimizer(lr=0.1, total_steps=100)
-    st2 = _TS.create(model_pl.apply, variables["params"],
-                     variables.get("batch_stats", {}), tx2)
-    tb2 = dict(keypoint=x1k[:64],
-               label=jnp.asarray(rng.integers(0, 60, size=64)))
-    step2 = jax.jit(train_step)
-    st2, _ = step2(st2, tb2, jax.random.PRNGKey(0))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        st2, m2 = step2(st2, tb2, jax.random.PRNGKey(0))
-    jax.block_until_ready(m2)
-    results["dsgcn_train_clips_per_sec_b64_pallas"] = 64 * 10 / (
-        time.perf_counter() - t0)
-
-    # bf16 saturated inference for the flagship
-    from dsgcn_tpu.models.recognizer import RecognizerGCN
-    model, variables = variables_by_name["dsgcn"]
+    # bf16 saturated inference: params pre-cast ONCE (bf16 weights in HBM) —
+    # per-call f32->bf16 casts double the weight traffic and lose to fp32
     model_bf16 = RecognizerGCN(backbone=model.backbone, head=model.head,
                                compute_dtype="bfloat16")
-    fwd = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False))
-    results["dsgcn_infer_fps_b1024_bf16"] = 1024 / _bench(
-        fwd, (variables, x1k), iters=9)
+    vb = {"params": jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables["params"]),
+        "batch_stats": variables.get("batch_stats", {})}
+    fwd = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False).sum())
+    dt = _bench_scalar(fwd, (vb, x1k), iters=4)
+    results["dsgcn_infer_fps_b1024_bf16"] = 1024 / dt
+    comp = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False)) \
+        .lower(vb, x1k).compile()
+    flops = float(comp.cost_analysis().get("flops", 0.0))
+    results["dsgcn_infer_bf16_tflops"] = flops / dt / 1e12
+    results["dsgcn_infer_bf16_mfu_pct"] = 100.0 * flops / dt / peak
 
     # edges/s of the DS-GCN dynamic-graph aggregation at saturated batch:
-    # every (k, u, v) pair per (sample, person, output frame) counts as an edge
+    # every (k, u, v) pair per (sample, person, output frame), 10 stages
     K, Vj, T_out = 3, 25, 100
-    dt = 1024 / results["dsgcn_infer_fps_b1024"]  # noqa: F841 (kept below)
-    stages = 10
-    results["dsgcn_edges_per_sec"] = 1024 * m * T_out * K * Vj * Vj * stages / dt
+    dt = 1024 / results["dsgcn_infer_fps_b1024"]
+    results["dsgcn_edges_per_sec"] = 1024 * m * T_out * K * Vj * Vj * 10 / dt
 
     value = results["dgstgcn_infer_fps_b16"]
     baseline_2080ti = 409.0  # BASELINE.md: DGSTGCN FPS on RTX 2080Ti
@@ -129,6 +139,7 @@ def main():
         "value": round(value, 2),
         "unit": "samples/s",
         "vs_baseline": round(value / baseline_2080ti, 3),
+        "device": getattr(dev, "device_kind", str(dev)),
         **{k: round(float(v), 2) for k, v in results.items()},
     }))
 

@@ -661,5 +661,7 @@ def build_pipeline(cfgs: Sequence[Dict]) -> Compose:
         typ = cfg.pop("type")
         if typ == "ToTensor":   # tensors are created at batch level here
             continue
+        if typ not in TRANSFORMS and typ.startswith("MM"):
+            from . import multimodal  # noqa: F401  (registers MM transforms)
         ops.append(TRANSFORMS[typ](**cfg))
     return Compose(ops)

@@ -102,22 +102,37 @@ def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _t_tile(T: int, V: int, KC: int, itemsize: int = 4,
+            budget: int = 12 * 2 ** 20) -> int:
+    """Largest divisor of T fitting the ~16 MB scoped-VMEM stack.  The bound
+    is pessimistic (measured, not derived): besides the double-buffered
+    in/out blocks, Mosaic materializes the two layout transposes around the
+    batched matmul and the stacked graph tensor, so count ~9 block-sized
+    live copies plus 4 graph-sized temporaries."""
+    for tt in sorted({d for d in range(1, T + 1) if T % d == 0}, reverse=True):
+        if (9 * tt * V * KC + 4 * KC * V * V) * itemsize <= budget:
+            return tt
+    return 1
+
+
 def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
                 K, Cm, edge_k, edge_num, interpret=False):
     N, T, V, KC = pre_x.shape
     gates = jnp.stack([alpha, beta])                            # (2, K)
-    kernel = functools.partial(_kernel, K=K, Cm=Cm, edge_k=edge_k,
-                               edge_num=edge_num)
+    # Tile T so wide stages (large K*Cm) stay inside scoped VMEM; the dynamic
+    # graph is T-invariant, so tiles just rebuild it (cheap vs the contraction)
+    tt = _t_tile(T, V, KC, pre_x.dtype.itemsize)
+    nt = T // tt
     in_specs = [
-        pl.BlockSpec((1, T, V, KC), lambda n: (n, 0, 0, 0),
+        pl.BlockSpec((1, tt, V, KC), lambda n, t: (n, t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, K, Cm, V), lambda n: (n, 0, 0, 0),
+        pl.BlockSpec((1, K, Cm, V), lambda n, t: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, K, Cm, V), lambda n: (n, 0, 0, 0),
+        pl.BlockSpec((1, K, Cm, V), lambda n, t: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, V, V), lambda n: (0, 0, 0),
+        pl.BlockSpec((K, V, V), lambda n, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K), lambda n: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, K), lambda n, t: (0, 0), memory_space=pltpu.SMEM),
     ]
     args = [pre_x, x1, x2, A, gates]
     if edge_w is not None:
@@ -132,11 +147,11 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
         bias_field = jnp.einsum("evw,ec->cvw", edge_sel,
                                 edge_b.reshape(edge_num, Cm))
         in_specs += [
-            pl.BlockSpec(edge_w.shape, lambda n: (0, 0),
+            pl.BlockSpec(edge_w.shape, lambda n, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(bias_field.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(bias_field.shape, lambda n, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(edge_sel.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(edge_sel.shape, lambda n, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args += [edge_w, bias_field, edge_sel]
@@ -147,9 +162,9 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
 
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N, nt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, T, V, KC), lambda n: (n, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, tt, V, KC), lambda n, t: (n, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, T, V, KC), pre_x.dtype),
         interpret=interpret,

@@ -301,8 +301,9 @@ def load_ref_pipelines():
     pose_related = importlib.import_module("refds.pipelines.pose_related")
     sampling = importlib.import_module("refds.pipelines.sampling")
     formatting = importlib.import_module("refds.pipelines.formatting")
+    multi_modality = importlib.import_module("refds.pipelines.multi_modality")
     return dict(compose=compose, pose_related=pose_related, sampling=sampling,
-                formatting=formatting)
+                formatting=formatting, multi_modality=multi_modality)
 
 
 def load_ref_cnns():
