@@ -564,6 +564,70 @@ class PoseDecode:
         return results
 
 
+class DecompressPose:
+    """Expand compressed 2D pose annotations (reference pose_related.py:521-609)
+    — the storage format of the public Kinetics/2D skeleton pickles: a flat
+    (num_annos, V, 3) keypoint array with per-anno ``frame_inds`` (plus
+    optional ``anno_inds`` filter) becomes dense (num_person, total_frames,
+    V, 2) keypoints + (num_person, total_frames, V) scores.
+
+    ``squeeze`` drops frames with no pose (reindexing frame_inds densely);
+    ``max_person`` keeps the highest-scored skeletons per frame.
+    num_person = the modal frame's annotation count (scipy.stats.mode in the
+    reference; an exact bincount here)."""
+    randomized = False
+
+    def __init__(self, squeeze: bool = True, max_person: int = 10):
+        self.squeeze = squeeze
+        self.max_person = max_person
+
+    def __call__(self, results: Dict, rng=None) -> Dict:
+        for k in ("total_frames", "frame_inds", "keypoint"):
+            assert k in results
+        total_frames = results["total_frames"]
+        frame_inds = results.pop("frame_inds")
+        keypoint = results["keypoint"]
+        if "anno_inds" in results:
+            frame_inds = frame_inds[results["anno_inds"]]
+            keypoint = keypoint[results["anno_inds"]]
+        assert np.all(np.diff(frame_inds) >= 0), \
+            "frame_inds should be monotonically increasing"
+        if self.squeeze:
+            uni, frame_inds = np.unique(frame_inds, return_inverse=True)
+            frame_inds = frame_inds.astype(np.int16)
+            total_frames = int(frame_inds.max()) + 1
+        results["total_frames"] = total_frames
+
+        num_joints = keypoint.shape[1]
+        counts = np.bincount(frame_inds, minlength=total_frames)
+        # scipy.stats.mode count of the modal frame index == max annos/frame
+        num_person = int(counts.max())
+
+        new_kp = np.zeros([num_person, total_frames, num_joints, 2],
+                          dtype=np.float16)
+        new_kpscore = np.zeros([num_person, total_frames, num_joints],
+                               dtype=np.float16)
+        nperson = np.zeros([total_frames], dtype=np.int16)
+        for frame_ind, kp in zip(frame_inds, keypoint):
+            p = nperson[frame_ind]
+            new_kp[p, frame_ind] = kp[:, :2]
+            new_kpscore[p, frame_ind] = kp[:, 2]
+            nperson[frame_ind] += 1
+
+        if num_person > self.max_person:
+            for i in range(total_frames):
+                n_i = nperson[i]
+                order = np.argsort(-new_kpscore[:n_i, i].sum(-1),
+                                   kind="stable")
+                new_kpscore[:n_i, i] = new_kpscore[order, i]
+                new_kp[:n_i, i] = new_kp[order, i]
+            num_person = self.max_person
+            results["num_person"] = num_person
+        results["keypoint"] = new_kp[:num_person]
+        results["keypoint_score"] = new_kpscore[:num_person]
+        return results
+
+
 class PadTo:
     randomized = False
 
@@ -631,13 +695,14 @@ class Collect:
 
 
 def _heatmap_transforms():
-    from .heatmap import GeneratePoseTarget
+    from .heatmap import GeneratePoseTarget, Heatmap2Potion
     from .pose_aug import (CenterCrop, Flip, FormatHeatmapInput, Normalize,
                            PoseCompact, RandomCrop, RandomResizedCrop, Resize,
                            TenCrop, ThreeCrop)
     from .video import (ArrayDecode, DecordDecode, DecordInit,
                         RawFrameDecode, SampleFrames)
-    return [GeneratePoseTarget, PoseCompact, RandomResizedCrop, CenterCrop,
+    return [GeneratePoseTarget, Heatmap2Potion, PoseCompact,
+            RandomResizedCrop, CenterCrop,
             Resize, Flip, FormatHeatmapInput, RandomCrop, Normalize,
             ThreeCrop, TenCrop, SampleFrames, ArrayDecode, RawFrameDecode,
             DecordInit, DecordDecode]
@@ -648,7 +713,7 @@ TRANSFORMS = {c.__name__: c for c in
                RandomGaussianNoise, JointToBone, ToMotion, MergeSkeFeat,
                GenSkeFeat, GaussAug, Causalmetrix,
                UniformSampleFrames, UniformSample,
-               UniformSampleOrder, PoseDecode,
+               UniformSampleOrder, PoseDecode, DecompressPose,
                PadTo, FormatGCNInput, Collect, Rename]
               + _heatmap_transforms()}
 
