@@ -1,6 +1,6 @@
-# stgcnpp j stream, ntu60_xsub (pyskl practice; see
+# aagcn j stream, ntu60_xsub (pyskl practice; see
 # reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/j.py for the recipe)
-_base_ = ['../STGCNPP_60_model.py']
+_base_ = ['../AAGCN_60_model.py']
 modality = 'j'
 clip_len = 100
 dataset_type = 'PoseDataset'

@@ -1,10 +1,10 @@
-# stgcnpp j stream, ntu60_xsub (pyskl practice; see
+# ctrgcn j stream, ntu120_xsub (pyskl practice; see
 # reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/j.py for the recipe)
-_base_ = ['../STGCNPP_60_model.py']
+_base_ = ['../CTRGCN_120_model.py']
 modality = 'j'
 clip_len = 100
 dataset_type = 'PoseDataset'
-ann_file = 'data/nturgbd/ntu60_3danno.pkl'
+ann_file = 'data/nturgbd/ntu120_3danno.pkl'
 train_pipeline = [
     dict(type='PreNormalize3D'),
     dict(type='GenSkeFeat', dataset='nturgb+d', feats=[modality]),

@@ -1,7 +1,7 @@
-# stgcnpp j stream, ntu60_xsub (pyskl practice; see
-# reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/j.py for the recipe)
-_base_ = ['../STGCNPP_60_model.py']
-modality = 'j'
+# ctrgcn bm stream, ntu60_xsub (pyskl practice; see
+# reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/bm.py for the recipe)
+_base_ = ['../CTRGCN_60_model.py']
+modality = 'bm'
 clip_len = 100
 dataset_type = 'PoseDataset'
 ann_file = 'data/nturgbd/ntu60_3danno.pkl'

@@ -1,6 +1,6 @@
-# stgcnpp j stream, ntu60_xsub (pyskl practice; see
+# ctrgcn j stream, ntu60_xview (pyskl practice; see
 # reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/j.py for the recipe)
-_base_ = ['../STGCNPP_60_model.py']
+_base_ = ['../CTRGCN_60_model.py']
 modality = 'j'
 clip_len = 100
 dataset_type = 'PoseDataset'
@@ -37,10 +37,10 @@ data = dict(
     test_dataloader=dict(videos_per_gpu=16),
     train=dict(type='RepeatDataset', times=5,
                dataset=dict(type=dataset_type, ann_file=ann_file,
-                            pipeline=train_pipeline, split='xsub_train')),
+                            pipeline=train_pipeline, split='xview_train')),
     val=dict(type=dataset_type, ann_file=ann_file, pipeline=val_pipeline,
-             split='xsub_val'),
+             split='xview_val'),
     test=dict(type=dataset_type, ann_file=ann_file, pipeline=test_pipeline,
-              split='xsub_val'))
+              split='xview_val'))
 total_epochs = 16
 checkpoint_config = dict(interval=1)

@@ -1,10 +1,10 @@
-# stgcnpp j stream, ntu60_xsub (pyskl practice; see
-# reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/j.py for the recipe)
-_base_ = ['../STGCNPP_60_model.py']
-modality = 'j'
+# stgcn jm stream, ntu120_xset (pyskl practice; see
+# reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/jm.py for the recipe)
+_base_ = ['../STGCN_120_model.py']
+modality = 'jm'
 clip_len = 100
 dataset_type = 'PoseDataset'
-ann_file = 'data/nturgbd/ntu60_3danno.pkl'
+ann_file = 'data/nturgbd/ntu120_3danno.pkl'
 train_pipeline = [
     dict(type='PreNormalize3D'),
     dict(type='GenSkeFeat', dataset='nturgb+d', feats=[modality]),
@@ -37,10 +37,10 @@ data = dict(
     test_dataloader=dict(videos_per_gpu=16),
     train=dict(type='RepeatDataset', times=5,
                dataset=dict(type=dataset_type, ann_file=ann_file,
-                            pipeline=train_pipeline, split='xsub_train')),
+                            pipeline=train_pipeline, split='xset_train')),
     val=dict(type=dataset_type, ann_file=ann_file, pipeline=val_pipeline,
-             split='xsub_val'),
+             split='xset_val'),
     test=dict(type=dataset_type, ann_file=ann_file, pipeline=test_pipeline,
-              split='xsub_val'))
+              split='xset_val'))
 total_epochs = 16
 checkpoint_config = dict(interval=1)

@@ -1,7 +1,7 @@
-# stgcnpp j stream, ntu60_xsub (pyskl practice; see
-# reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/j.py for the recipe)
-_base_ = ['../STGCNPP_60_model.py']
-modality = 'j'
+# stgcn b stream, ntu60_xsub (pyskl practice; see
+# reference configs/stgcn++/stgcn++_ntu60_xsub_3dkp/b.py for the recipe)
+_base_ = ['../STGCN_60_model.py']
+modality = 'b'
 clip_len = 100
 dataset_type = 'PoseDataset'
 ann_file = 'data/nturgbd/ntu60_3danno.pkl'
