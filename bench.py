@@ -86,7 +86,7 @@ def main():
         # saturated batch.  dgstgcn (K=8) caps lower: the XLA backward of the
         # dynamic-graph op materializes (N,K,Cm,V,V) tensors whose V=25 pads
         # to 128 lanes in HBM
-        train_sat = {"dgstgcn": 128, "dsgcn": 256}[name]
+        train_sat = {"dgstgcn": 96, "dsgcn": 256}[name]
         for bs in (64, train_sat):
             xb = x1k[:bs]
             params, stats = variables["params"], variables.get("batch_stats", {})

@@ -1,4 +1,4 @@
-"""Fused dynamic-graph build + spatial aggregation Pallas kernel.
+"""Fused dynamic-graph build + spatial aggregation Pallas kernels (fwd + bwd).
 
 The hot region of every DG/DS-GCN block (reference gcn.py:2274-2361, SURVEY §8
 E5/E7/E9/E10) is:
@@ -8,21 +8,26 @@ E5/E7/E9/E10) is:
     G[k,c,v,w]   = alpha[k]*ctr + beta[k]*ada[k,v,w] + A[k,v,w]
     y[t,w,k,c]   = sum_v pre[t,v,k,c] * G[k,c,v,w]        (per-channel SpMM)
 
-XLA materializes the (N,K,Cm,V,V) graph tensor in HBM between these steps
-(~8 MB per block at batch 32, 10 blocks per model, fwd+bwd).  This kernel
-builds G in VMEM per (batch) grid step and contracts it immediately — the
-graph never touches HBM.  Optionally applies the DS-GCN per-edge-class
-attention (reference gcn.py:2277-2288): the middle (semantic) subset's diff
-field is expanded to 15 edge classes by a 1x1 conv and gathered with the
-static (V, V) class matrix, all in-kernel.
+XLA materializes the (N,K,Cm,V,V) graph tensor in HBM between these steps —
+and pads its (25, 25) trailing dims to (32, 128) tiles, a 6.6x expansion that
+OOMs HBM in training at saturated batch.  These kernels build G in VMEM per
+(batch, T-tile) grid step and contract it immediately; the graph never touches
+HBM in either direction:
 
-Forward only as a Pallas kernel; the custom VJP recomputes the (cheap) graphs
-in plain XLA for the backward pass, so training works transparently.
+* forward ``_kernel``: graph build + aggregation;
+* backward ``_bwd_kernel``: dG accumulated over T-tiles in a VMEM scratch,
+  then chained in-kernel through tanh/softmax/edge-projection to
+  (dpre, dx1, dx2, dA, dalpha, dbeta[, dedge_w, dedge_b]).
+
+Optionally applies the DS-GCN per-edge-class attention (reference
+gcn.py:2277-2288) on one subset: the diff field is expanded to 15 edge
+classes by a 1x1 conv and gathered with the static (V, V) class matrix,
+reformulated as per-class projections of x1/x2 (linear in the diff) so Mosaic
+never reshapes misaligned (V, V) trailing dims.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,88 +36,103 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
-            K: int, Cm: int, edge_w_ref=None, edge_b_ref=None,
-            edge_sel_ref=None, edge_k: int = -1, edge_num: int = 15):
-    """Per-batch-element fused graph build + aggregation.
+def _edge_proj(ew, x, edge_num, Cm):
+    """(E*Cm, V) per-class projection of x (Cm, V) by ew (Cm, E*Cm)."""
+    p = jax.lax.dot_general(ew.T, x,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return p.reshape(edge_num, Cm, x.shape[-1])
 
-    pre_ref: (1, T, V, K*Cm); x1/x2_ref: (1, K, Cm, V); A_ref: (K, V, V);
-    gates_ref: (2, K) [alpha; beta] in VMEM; out_ref: (1, T, V, K*Cm).
-    Optional edge attention on subset ``edge_k``: edge_w_ref (Cm, edge_num*Cm)
-    1x1-conv weight, edge_sel_ref (edge_num, V, V) one-hot class mask.
+
+def _graph_parts(x1, x2, A, gates_ref, ew, ebf, sel, *, K, Cm, edge_k,
+                 edge_num):
+    """Rebuild (G, ctr_list, ada) from queries/keys, all in VMEM.
+
+    x1/x2: (K, Cm, V); A: (K, V, V); gates_ref: (2, K) in SMEM.
+    ctr of subset ``edge_k`` uses the edge-class attention when ``ew`` given:
+    ea[c',v,w] = sum_e sel[e,v,w]*(P1[e,c',v] - P2[e,c',w]) + bias_field.
     """
-    T = pre_ref.shape[1]
-    V = pre_ref.shape[2]
-    pre = pre_ref[0]                                   # (T, V, K*Cm)
-    x1 = x1_ref[0]                                     # (K, Cm, V)
-    x2 = x2_ref[0]
-    A = A_ref[...]                                     # (K, V, V)
-
     raw = jnp.einsum("kcv,kcw->kvw", x1, x2,
                      preferred_element_type=jnp.float32)
     ada = jax.nn.softmax(raw, axis=-2)                 # (K, V, V)
-
-    # ---- build gated graph per subset in VMEM (static unroll over K; no
-    # scatter / trailing-dim reshape on TPU, scalar gates from SMEM) ---------
-    parts = []
+    ctrs, parts = [], []
     for k in range(K):
         alpha_k = gates_ref[0, k]
         beta_k = gates_ref[1, k]
-        if edge_w_ref is not None and k == edge_k:
-            # DS-GCN edge-class attention on subset edge_k (gcn.py:2277-2288):
-            # expand the diff field to edge_num classes via the 1x1 conv, keep
-            # class(edge_type[v,w]) at each edge; ctr_act (tanh) applies to
-            # this subset too (gcn.py:2294-2298).  Reformulated so Mosaic never
-            # reshapes the misaligned (V, V) trailing dims: the conv is linear
-            # in diff = x1[:,v] - x2[:,w], so project x1/x2 per class FIRST
-            # (one MXU matmul each) and combine under the class mask:
-            #   ea[c',v,w] = sum_e sel[e,v,w]*(P1[e,c',v] - P2[e,c',w] + b[e,c'])
-            ew = edge_w_ref[...]                                # (Cm, E*Cm)
-            p1 = jax.lax.dot_general(
-                ew.T, x1[k], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (E*Cm, V)
-            p2 = jax.lax.dot_general(
-                ew.T, x2[k], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            p1 = p1.reshape(edge_num, Cm, V)
-            p2 = p2.reshape(edge_num, Cm, V)
-            sel = edge_sel_ref[...]                             # (E, V, V)
-            term = p1[:, :, :, None] - p2[:, :, None, :]        # (E, Cm, V, V)
-            ea = jnp.sum(term * sel[:, None], axis=0)           # (Cm, V, V)
-            if edge_b_ref is not None:
-                # input-independent bias field precomputed outside the kernel
-                ea = ea + edge_b_ref[...]                       # (Cm, V, V)
+        if ew is not None and k == edge_k:
+            p1 = _edge_proj(ew, x1[k], edge_num, Cm)
+            p2 = _edge_proj(ew, x2[k], edge_num, Cm)
+            term = p1[:, :, :, None] - p2[:, :, None, :]        # (E,Cm,V,V)
+            ea = jnp.sum(term * sel[:, None], axis=0)           # (Cm,V,V)
+            if ebf is not None:
+                ea = ea + ebf                                   # (Cm,V,V)
             ctr_k = jnp.tanh(ea)
         else:
             ctr_k = jnp.tanh(x1[k][:, :, None] - x2[k][:, None, :])
+        ctrs.append(ctr_k)
         # G_k = alpha_k*ctr_k + beta_k*ada_k + A_k, broadcast over Cm
         parts.append(ctr_k * alpha_k + (ada[k] * beta_k + A[k])[None])
-    G = jnp.stack(parts)                                        # (K, Cm, V, V)
+    return jnp.stack(parts), ctrs, ada                 # (K,Cm,V,V), ., (K,V,V)
+
+
+def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
+            K: int, Cm: int, edge_w_ref=None, edge_b_ref=None,
+            edge_sel_ref=None, edge_k: int = -1, edge_num: int = 15):
+    """Forward: per (batch, T-tile) fused graph build + aggregation.
+
+    pre_ref: (1, Tt, V, K*Cm); x1/x2_ref: (1, K, Cm, V); A_ref: (K, V, V);
+    gates_ref: (2, K) [alpha; beta] in SMEM; out_ref: (1, Tt, V, K*Cm).
+    """
+    T, V = pre_ref.shape[1], pre_ref.shape[2]
+    pre = pre_ref[0]                                   # (Tt, V, K*Cm)
+    G, _, _ = _graph_parts(
+        x1_ref[0], x2_ref[0], A_ref[...], gates_ref,
+        edge_w_ref[...] if edge_w_ref is not None else None,
+        edge_b_ref[...] if edge_b_ref is not None else None,
+        edge_sel_ref[...] if edge_sel_ref is not None else None,
+        K=K, Cm=Cm, edge_k=edge_k, edge_num=edge_num)
 
     # ---- aggregate: y[t,w,k,c] = sum_v pre[t,v,k,c] * G[k,c,v,w] ---------
     # Mosaic allows at most 1 batch dim on tpu.matmul: flatten (K, Cm).
-    pre_k = pre.reshape(T, V, K * Cm)
-    pre_b = jnp.transpose(pre_k, (2, 0, 1))                     # (K*Cm, T, V)
+    pre_b = jnp.transpose(pre.reshape(T, V, K * Cm), (2, 0, 1))  # (KC, Tt, V)
     G2 = G.reshape(K * Cm, V, V)
     y = jax.lax.dot_general(
         pre_b, G2,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                     # (K*Cm, T, W)
-    y = jnp.transpose(y, (1, 2, 0))                             # (T, W, K*Cm)
-    out_ref[0] = y.astype(out_ref.dtype)
+        preferred_element_type=jnp.float32)                     # (KC, Tt, W)
+    out_ref[0] = jnp.transpose(y, (1, 2, 0)).astype(out_ref.dtype)
 
 
 def _t_tile(T: int, V: int, KC: int, itemsize: int = 4,
-            budget: int = 12 * 2 ** 20) -> int:
+            budget: int = 12 * 2 ** 20, blocks: int = 9) -> int:
     """Largest divisor of T fitting the ~16 MB scoped-VMEM stack.  The bound
     is pessimistic (measured, not derived): besides the double-buffered
     in/out blocks, Mosaic materializes the two layout transposes around the
-    batched matmul and the stacked graph tensor, so count ~9 block-sized
-    live copies plus 4 graph-sized temporaries."""
+    batched matmul and the stacked graph tensor, so count ~``blocks``
+    block-sized live copies plus 4 graph-sized temporaries."""
     for tt in sorted({d for d in range(1, T + 1) if T % d == 0}, reverse=True):
-        if (9 * tt * V * KC + 4 * KC * V * V) * itemsize <= budget:
+        if (blocks * tt * V * KC + 4 * KC * V * V) * itemsize <= budget:
             return tt
     return 1
+
+
+def _edge_specs_args(edge_w, edge_b, edge_sel, edge_num, Cm, dtype, ndim=2):
+    """Shared VMEM specs/args for the edge-attention constants."""
+    if edge_b is None:
+        edge_b = jnp.zeros((edge_num * Cm,), dtype)
+    # bias field b[class(v,w), c] as a constant (Cm, V, V) array
+    bias_field = jnp.einsum("evw,ec->cvw", edge_sel,
+                            edge_b.reshape(edge_num, Cm))
+    idx = (lambda n, t: (0, 0)) if ndim == 2 else None
+    specs = [
+        pl.BlockSpec(edge_w.shape, lambda n, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(bias_field.shape, lambda n, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(edge_sel.shape, lambda n, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return specs, [edge_w, bias_field, edge_sel]
 
 
 def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
@@ -136,29 +156,17 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
     ]
     args = [pre_x, x1, x2, A, gates]
     if edge_w is not None:
-        def kernel_edge(pre, x1r, x2r, Ar, gr, ewr, ebr, esr, out):
+        def kernel(pre, x1r, x2r, Ar, gr, ewr, ebr, esr, out):
             _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm,
                     edge_w_ref=ewr, edge_b_ref=ebr, edge_sel_ref=esr,
                     edge_k=edge_k, edge_num=edge_num)
-        kernel = kernel_edge
-        if edge_b is None:
-            edge_b = jnp.zeros((edge_num * Cm,), pre_x.dtype)
-        # bias field b[class(v,w), c] as a constant (Cm, V, V) array
-        bias_field = jnp.einsum("evw,ec->cvw", edge_sel,
-                                edge_b.reshape(edge_num, Cm))
-        in_specs += [
-            pl.BlockSpec(edge_w.shape, lambda n, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bias_field.shape, lambda n, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(edge_sel.shape, lambda n, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args += [edge_w, bias_field, edge_sel]
+        especs, eargs = _edge_specs_args(edge_w, edge_b, edge_sel, edge_num,
+                                         Cm, pre_x.dtype)
+        in_specs += especs
+        args += eargs
     else:
-        def kernel_plain(pre, x1r, x2r, Ar, gr, out):
+        def kernel(pre, x1r, x2r, Ar, gr, out):
             _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm)
-        kernel = kernel_plain
 
     return pl.pallas_call(
         kernel,
@@ -171,10 +179,199 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
     )(*args)
 
 
+def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
+                *rest, K: int, Cm: int, edge_k: int, edge_num: int, nt: int,
+                has_edge: bool):
+    """Backward: dG accumulated over T-tiles in VMEM scratch, then chained
+    through the graph build on the last tile of each batch element.
+
+    Math (per batch element; G as in the forward):
+      dpre[t,v,kc] = sum_w dy[t,w,kc] * G[kc,v,w]
+      dG[kc,v,w]   = sum_t pre[t,v,kc] * dy[t,w,kc]
+      ctr path:  dz = (dG*alpha_k) * (1 - ctr^2);  dx1 += sum_w dz,
+                 dx2 -= sum_v dz  (edge subset: through the class projection)
+      ada path:  ds = beta_k * sum_c dG;  softmax VJP over the source axis;
+                 dx1 += x2 @ draw^T, dx2 += x1 @ draw
+      dA = sum_c dG;  dalpha_k = <dG, ctr_k>;  dbeta_k = <sum_c dG, ada_k>.
+    """
+    if has_edge:
+        (ew_ref, ebf_ref, sel_ref, dpre_ref, dx1_ref, dx2_ref, dA_ref,
+         dgates_ref, dew_ref, deb_ref, dG_scr) = rest
+    else:
+        (dpre_ref, dx1_ref, dx2_ref, dA_ref, dgates_ref, dG_scr) = rest
+        ew_ref = ebf_ref = sel_ref = dew_ref = deb_ref = None
+
+    n_id = pl.program_id(0)
+    t_id = pl.program_id(1)
+    T, V = pre_ref.shape[1], pre_ref.shape[2]
+    KC = K * Cm
+    pre = pre_ref[0]
+    dy = dy_ref[0]
+    x1 = x1_ref[0]
+    x2 = x2_ref[0]
+    A = A_ref[...]
+    ew = ew_ref[...] if ew_ref is not None else None
+    ebf = ebf_ref[...] if ebf_ref is not None else None
+    sel = sel_ref[...] if sel_ref is not None else None
+
+    G, ctrs, ada = _graph_parts(x1, x2, A, gates_ref, ew, ebf, sel,
+                                K=K, Cm=Cm, edge_k=edge_k, edge_num=edge_num)
+    G2 = G.reshape(KC, V, V)
+
+    dy_b = jnp.transpose(dy.reshape(T, V, KC), (2, 0, 1))       # (KC, Tt, W)
+    pre_b = jnp.transpose(pre.reshape(T, V, KC), (2, 0, 1))     # (KC, Tt, V)
+
+    # dpre (this tile): sum_w dy[kc,t,w] G[kc,v,w] -> (KC, Tt, V)
+    dpre = jax.lax.dot_general(
+        dy_b, G2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dpre_ref[0] = jnp.transpose(dpre, (1, 2, 0)).astype(dpre_ref.dtype)
+
+    # dG partial for this tile: sum_t pre[kc,t,v] dy[kc,t,w] -> (KC, V, W)
+    dG_part = jax.lax.dot_general(
+        pre_b, dy_b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(t_id == 0)
+    def _init_scr():
+        dG_scr[...] = jnp.zeros_like(dG_scr)
+
+    dG_scr[...] += dG_part
+
+    @pl.when(jnp.logical_and(n_id == 0, t_id == 0))
+    def _init_accs():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        dgates_ref[...] = jnp.zeros_like(dgates_ref)
+        if dew_ref is not None:
+            dew_ref[...] = jnp.zeros_like(dew_ref)
+            deb_ref[...] = jnp.zeros_like(deb_ref)
+
+    @pl.when(t_id == nt - 1)
+    def _chain():
+        dG = dG_scr[...].reshape(K, Cm, V, V)
+        dx1_parts, dx2_parts = [], []
+        dA_acc = jnp.zeros((K, V, V), jnp.float32)
+        dal, dbe = [], []
+        for k in range(K):
+            alpha_k = gates_ref[0, k]
+            beta_k = gates_ref[1, k]
+            dGk = dG[k]                                         # (Cm, V, W)
+            ctr_k = ctrs[k]
+            sC = jnp.sum(dGk, axis=0)                           # (V, W)
+            # gate grads
+            dal.append(jnp.sum(dGk * ctr_k))
+            dbe.append(jnp.sum(sC * ada[k]))
+            # ctr path
+            dz = (dGk * alpha_k) * (1.0 - ctr_k * ctr_k)        # (Cm, V, W)
+            if ew is not None and k == edge_k:
+                # through ea = sum_e sel*(P1 - P2) + bias_field
+                dP1 = jnp.einsum("evw,cvw->ecv", sel, dz)       # (E, Cm, V)
+                dP2 = -jnp.einsum("evw,cvw->ecw", sel, dz)
+                dP1f = dP1.reshape(edge_num * Cm, V)
+                dP2f = dP2.reshape(edge_num * Cm, V)
+                dx1_k = jax.lax.dot_general(
+                    ew, dP1f, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (Cm, V)
+                dx2_k = jax.lax.dot_general(
+                    ew, dP2f, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # d ew[c, ec'] = sum_v x1[c,v] dP1[ec',v] + sum_w x2[c,w] dP2[ec',w]
+                dew = jax.lax.dot_general(
+                    x1[k], dP1f, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) \
+                    + jax.lax.dot_general(
+                    x2[k], dP2f, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (Cm, E*Cm)
+                dew_ref[...] += dew.astype(dew_ref.dtype)
+                # d bias[e,c'] = sum_{v,w} sel[e,v,w] dz[c',v,w] = sum_v dP1
+                deb_ref[...] += jnp.sum(dP1, axis=-1).reshape(
+                    edge_num * Cm).astype(deb_ref.dtype)
+            else:
+                dx1_k = jnp.sum(dz, axis=-1)                    # (Cm, V)
+                dx2_k = -jnp.sum(dz, axis=-2)                   # (Cm, W)
+            # ada path: softmax over the source (v) axis
+            ds = beta_k * sC                                    # (V, W)
+            inner = jnp.sum(ds * ada[k], axis=0, keepdims=True)  # (1, W)
+            draw = ada[k] * (ds - inner)                        # (V, W)
+            dx1_k = dx1_k + jax.lax.dot_general(
+                x2[k], draw, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (Cm, V)
+            dx2_k = dx2_k + jax.lax.dot_general(
+                x1[k], draw, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (Cm, W)
+            dx1_parts.append(dx1_k)
+            dx2_parts.append(dx2_k)
+            dA_acc = dA_acc.at[k].set(sC)
+        dx1_ref[0] = jnp.stack(dx1_parts).astype(dx1_ref.dtype)
+        dx2_ref[0] = jnp.stack(dx2_parts).astype(dx2_ref.dtype)
+        dA_ref[...] += dA_acc.astype(dA_ref.dtype)
+        dgates_ref[0, :] += jnp.stack(dal).astype(dgates_ref.dtype)
+        dgates_ref[1, :] += jnp.stack(dbe).astype(dgates_ref.dtype)
+
+
+def _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, dy,
+                *, K, Cm, edge_k, edge_num, interpret=False):
+    N, T, V, KC = pre_x.shape
+    gates = jnp.stack([alpha, beta])
+    tt = _t_tile(T, V, KC, pre_x.dtype.itemsize, budget=9 * 2 ** 20,
+                 blocks=11)
+    nt = T // tt
+    has_edge = edge_w is not None
+    tile4 = lambda: pl.BlockSpec((1, tt, V, KC),                  # noqa: E731
+                                 lambda n, t: (n, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    qk = lambda: pl.BlockSpec((1, K, Cm, V),                      # noqa: E731
+                              lambda n, t: (n, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [tile4(), tile4(), qk(), qk(),
+                pl.BlockSpec((K, V, V), lambda n, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, K), lambda n, t: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    args = [pre_x, dy, x1, x2, A, gates]
+    if has_edge:
+        especs, eargs = _edge_specs_args(edge_w, edge_b, edge_sel, edge_num,
+                                         Cm, pre_x.dtype)
+        in_specs += especs
+        args += eargs
+
+    f32 = jnp.float32
+    out_shapes = [jax.ShapeDtypeStruct((N, T, V, KC), pre_x.dtype),  # dpre
+                  jax.ShapeDtypeStruct((N, K, Cm, V), f32),          # dx1
+                  jax.ShapeDtypeStruct((N, K, Cm, V), f32),          # dx2
+                  jax.ShapeDtypeStruct((K, V, V), f32),              # dA
+                  jax.ShapeDtypeStruct((2, K), f32)]                 # dgates
+    out_specs = [tile4(), qk(), qk(),
+                 pl.BlockSpec((K, V, V), lambda n, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((2, K), lambda n, t: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    if has_edge:
+        out_shapes += [jax.ShapeDtypeStruct(edge_w.shape, f32),      # dew
+                       jax.ShapeDtypeStruct((edge_num * Cm,), f32)]  # deb
+        out_specs += [pl.BlockSpec(edge_w.shape, lambda n, t: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((edge_num * Cm,), lambda n, t: (0,),
+                                   memory_space=pltpu.VMEM)]
+
+    kernel = functools.partial(_bwd_kernel, K=K, Cm=Cm, edge_k=edge_k,
+                               edge_num=edge_num, nt=nt, has_edge=has_edge)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((KC, V, V), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
 def _fwd_reference(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
                    K, Cm, edge_k, edge_num):
-    """Plain-XLA fallback with identical semantics (used for VJP backward
-    residual recompute and as the non-Pallas path)."""
+    """Plain-XLA fallback with identical semantics (the non-Pallas path and
+    the grad-of-grad fallback)."""
     N, T, V, KC = pre_x.shape
     ctr = jnp.tanh(x1[..., :, None] - x2[..., None, :])         # (N,K,Cm,V,V)
     if edge_w is not None:
@@ -222,22 +419,20 @@ def _vjp_fwd(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel,
 
 def _vjp_bwd(K, Cm, edge_k, edge_num, interpret, res, dy):
     pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel = res
-
+    outs = _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b,
+                       edge_sel, dy, K=K, Cm=Cm, edge_k=edge_k,
+                       edge_num=edge_num, interpret=interpret)
     if edge_w is None:
-        def f2(pre_x, x1, x2, A, alpha, beta):
-            return _fwd_reference(pre_x, x1, x2, A, alpha, beta, None, None,
-                                  None, K=K, Cm=Cm, edge_k=edge_k,
-                                  edge_num=edge_num)
-        grads = jax.vjp(f2, pre_x, x1, x2, A, alpha, beta)[1](dy)
-        return grads + (None, None, None)
-
-    def f(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b):
-        return _fwd_reference(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b,
-                              edge_sel, K=K, Cm=Cm, edge_k=edge_k,
-                              edge_num=edge_num)
-
-    grads = jax.vjp(f, pre_x, x1, x2, A, alpha, beta, edge_w, edge_b)[1](dy)
-    return grads + (jnp.zeros_like(edge_sel),)
+        dpre, dx1, dx2, dA, dgates = outs
+        dew = deb = dsel = None
+    else:
+        dpre, dx1, dx2, dA, dgates, dew, deb = outs
+        dew = dew.astype(edge_w.dtype)
+        deb = deb.astype(edge_b.dtype) if edge_b is not None else None
+        dsel = jnp.zeros_like(edge_sel)
+    return (dpre, dx1.astype(x1.dtype), dx2.astype(x2.dtype),
+            dA.astype(A.dtype), dgates[0].astype(alpha.dtype),
+            dgates[1].astype(beta.dtype), dew, deb, dsel)
 
 
 fused_dyn_graph_agg.defvjp(_vjp_fwd, _vjp_bwd)

@@ -85,3 +85,35 @@ def test_fused_edge_grads():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("edge", [False, True])
+def test_fused_multi_tile_grid(edge, monkeypatch):
+    """Force nt>1 T-tiling: exercises the fwd tile loop and the bwd dG
+    scratch accumulation across tiles (the wide-stage VMEM path)."""
+    import dsgcn_tpu.ops.pallas.dyn_graph as dg
+    monkeypatch.setattr(dg, "_t_tile", lambda T, V, KC, *a, **k: T // 2)
+    K, Cm = 3, 8
+    args = _inputs(T=12, edge=edge)
+    got = dg.fused_dyn_graph_agg(*args, K, Cm, 1, 15, True)
+    want = reference_dyn_graph_agg(*args, K=K, Cm=Cm, edge_k=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    argn = tuple(range(8 if edge else 6))
+
+    def loss(*a):
+        full = list(a) + list(args[len(a):])
+        y = dg.fused_dyn_graph_agg(*full, K, Cm, 1, 15, True)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(*a):
+        full = list(a) + list(args[len(a):])
+        y = reference_dyn_graph_agg(*full, K=K, Cm=Cm, edge_k=1)
+        return jnp.sum(y ** 2)
+
+    ga = jax.grad(loss, argnums=argn)(*args[:len(argn)])
+    gb = jax.grad(loss_ref, argnums=argn)(*args[:len(argn)])
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
