@@ -83,11 +83,9 @@ def main():
         results[f"{name}_infer_mfu_pct"] = 100.0 * flops / dt / peak
 
         # training throughput (clips/s/chip): b64 (round-1 comparable) and
-        # saturated batch.  dgstgcn (K=8) caps lower: the XLA backward of the
-        # dynamic-graph op materializes (N,K,Cm,V,V) tensors whose V=25 pads
-        # to 128 lanes in HBM
-        train_sat = {"dgstgcn": 96, "dsgcn": 256}[name]
-        for bs in (64, train_sat):
+        # saturated batch (the Pallas backward keeps the (N,K,Cm,V,V) graph
+        # tensors out of HBM, so saturated-batch training fits)
+        for bs in (64, 256):
             xb = x1k[:bs]
             params, stats = variables["params"], variables.get("batch_stats", {})
             tx, _ = make_optimizer(lr=0.1, total_steps=100)

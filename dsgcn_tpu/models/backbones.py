@@ -124,6 +124,7 @@ class ResidualTCN(nn.Module):
     out_channels: int
     stride: int
     enabled: bool = True
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array | float:
@@ -132,7 +133,7 @@ class ResidualTCN(nn.Module):
         if x.shape[-1] == self.out_channels and self.stride == 1:
             return x
         return UnitTCN(self.out_channels, kernel_size=1, stride=self.stride,
-                       name="down")(x, train=train)
+                       bn_axis=self.bn_axis, name="down")(x, train=train)
 
 
 class STGCNBlock(nn.Module):
@@ -284,26 +285,36 @@ class DGBlock(nn.Module):
     gcn_kwargs: FrozenDict = FrozenDict()
     tcn_type: str = "dgmstcn"
     tcn_kwargs: FrozenDict = FrozenDict()
+    graph_axis: Optional[str] = None   # joint-partition mesh axis
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         res = ResidualTCN(self.out_channels, self.stride, self.residual,
+                          bn_axis=self.graph_axis,
                           name="residual")(x, train=train)
         if self.gcn_type == "dggcn":
             y = DGGCN(self.out_channels, A_init=self.A, name="gcn",
+                      graph_axis=self.graph_axis,
                       **self.gcn_kwargs)(x, train=train)
         elif self.gcn_type == "dghgcn":
+            assert self.graph_axis is None
             y = DGHGCN(self.out_channels, A_init=self.A,
                        edge_type=self.edge_type, node_type=self.node_type,
                        name="gcn", **self.gcn_kwargs)(x, train=train)
         elif self.gcn_type == "dgphgcn1":
+            assert self.graph_axis is None
             y = DGPHGCN1(self.out_channels, A_init=self.A,
                          edge_type=self.edge_type, node_type=self.node_type,
                          name="gcn", **self.gcn_kwargs)(x, train=train)
         else:
             raise ValueError(f"unknown gcn type {self.gcn_type!r}")
+        tcn_kwargs = dict(self.tcn_kwargs)
+        if self.graph_axis is not None:
+            assert self.tcn_type in ("dgmstcn", "unit_tcn")
+            tcn_kwargs["graph_axis" if self.tcn_type == "dgmstcn"
+                       else "bn_axis"] = self.graph_axis
         y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
-                      dict(self.tcn_kwargs))(y, train=train)
+                      tcn_kwargs)(y, train=train)
         return jax.nn.relu(y + res)
 
 
@@ -354,6 +365,14 @@ class _BackboneBase(nn.Module):
     data_bn_type: Optional[str] = "VC"
     remat: bool = False
     block_args: FrozenDict = FrozenDict()
+    # joint-partition (graph-axis) SPMD: when set, __call__ must run inside a
+    # shard_map whose mesh has this axis; the input arrives replicated over
+    # it, data_bn runs on the full skeleton (its features are per-joint, so
+    # stats stay exact), each device then takes its joint shard through the
+    # stages, and the output is all-gathered back to the full joint set.
+    # The shard count must divide V (5 or 25 for NTU's 25 joints — the body-
+    # part granularity suggested in SURVEY §7).
+    graph_axis: Optional[str] = None
 
     def _graph(self) -> Graph:
         return Graph.from_config(self.graph_cfg)
@@ -365,6 +384,13 @@ class _BackboneBase(nn.Module):
         A = graph.A.astype(np.float32)
         x = DataBN(self.data_bn_type, name="data_bn")(x, train=train)
         x = x.reshape(n * m, t, v, c)
+        if self.graph_axis is not None:
+            gsz = jax.lax.axis_size(self.graph_axis)
+            gi = jax.lax.axis_index(self.graph_axis)
+            assert v % gsz == 0, \
+                f"graph-axis shards ({gsz}) must divide V ({v})"
+            x = jax.lax.dynamic_slice_in_dim(x, gi * (v // gsz), v // gsz,
+                                             axis=2)
 
         lw = split_stage_kwargs(self.block_args, self.num_stages)
         lw[0].pop("tcn_dropout", None)
@@ -383,6 +409,8 @@ class _BackboneBase(nn.Module):
                                           name=f"remat{i}")(x)
             else:
                 x = blk(x, train=train)
+        if self.graph_axis is not None:
+            x = jax.lax.all_gather(x, self.graph_axis, axis=2, tiled=True)
         return x.reshape((n, m) + x.shape[1:])
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
@@ -565,4 +593,5 @@ class DGSTGCN(_BackboneBase):
         return DGBlock(out_c, A=A, edge_type=et, node_type=nt, stride=stride,
                        residual=residual, gcn_type=gcn_type,
                        gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
-                       tcn_kwargs=FrozenDict(tcn_kwargs), name=f"block{i}")
+                       tcn_kwargs=FrozenDict(tcn_kwargs),
+                       graph_axis=self.graph_axis, name=f"block{i}")

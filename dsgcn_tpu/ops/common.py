@@ -154,13 +154,21 @@ class BatchNorm(nn.Module):
     """BatchNorm over all leading axes, per-channel (== torch BatchNorm2d on NCTV).
 
     torch defaults: eps=1e-5, momentum=0.1 (i.e. running = 0.9*running + 0.1*new).
+
+    ``axis_name``: sync batch statistics across a mesh axis (joint-partition
+    sharding — the statistics must match the unsharded model exactly).
+    ``weight``: optional per-location weight broadcastable to x's non-channel
+    dims (trailing 1); used by graph-sharded dgmstcn where the appended
+    global joint is replicated on every shard and must count once.
     """
     use_running_average: Optional[bool] = None
     scale_init: Callable = nn.initializers.ones_init()
     bias_init: Callable = nn.initializers.zeros_init()
+    axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
+    def __call__(self, x: Array, use_running_average: Optional[bool] = None,
+                 weight: Optional[Array] = None) -> Array:
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
         # Same variable layout/semantics as delegating to flax nn.BatchNorm on
@@ -186,14 +194,29 @@ class BatchNorm(nn.Module):
             return x * a.astype(x.dtype) + b.astype(x.dtype)
         xm = x.astype(acc)
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(xm, axes)
-        mean2 = jnp.mean(jax.lax.square(xm), axes)
-        var = mean2 - jax.lax.square(mean)
+        if weight is None and self.axis_name is None:
+            mean = jnp.mean(xm, axes)
+            mean2 = jnp.mean(jax.lax.square(xm), axes)
+            var = mean2 - jax.lax.square(mean)
+            bessel_n = float(int(np.prod([x.shape[a] for a in axes])))
+        else:
+            w = (jnp.ones(x.shape[:-1] + (1,), acc) if weight is None
+                 else jnp.broadcast_to(weight.astype(acc),
+                                       x.shape[:-1] + (1,)))
+            s1 = jnp.sum(xm * w, axes)
+            s2 = jnp.sum(jax.lax.square(xm) * w, axes)
+            cnt = jnp.sum(w)
+            if self.axis_name is not None and not self.is_initializing():
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+                cnt = jax.lax.psum(cnt, self.axis_name)
+            mean = s1 / cnt
+            var = s2 / cnt - jax.lax.square(mean)
+            bessel_n = cnt
         if not self.is_initializing():
             # torch updates the running var with the UNBIASED batch variance
             # (Bessel n/(n-1)) while normalizing with the biased one
-            n = int(np.prod([x.shape[a] for a in axes]))
-            bessel = n / max(n - 1, 1)
+            bessel = bessel_n / jnp.maximum(bessel_n - 1, 1)
             ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
             ra_var.value = 0.9 * ra_var.value + 0.1 * (var * bessel)
         mul = jax.lax.rsqrt(var + eps) * scale.astype(acc)

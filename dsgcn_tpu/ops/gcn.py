@@ -518,6 +518,7 @@ class DGGCN(nn.Module):
     ctr_act: str = "tanh"
     use_pallas: bool = False       # fused VMEM graph-build+aggregate kernel
     pallas_interpret: bool = False
+    graph_axis: Optional[str] = None   # joint-partition mesh axis
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -528,7 +529,8 @@ class DGGCN(nn.Module):
 
         if c != self.out_channels:
             r = PointConv(self.out_channels, name="down_conv")(x)
-            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+            res = BatchNorm(name="down_bn", axis_name=self.graph_axis)(
+                r, use_running_average=not train)
         else:
             res = x
 
@@ -537,12 +539,24 @@ class DGGCN(nn.Module):
         A6 = A_param[None, :, None, None]
 
         pre = PointConv(mid * K, name="pre_conv")(x)
-        pre = BatchNorm(name="pre_bn")(pre, use_running_average=not train)
+        pre = BatchNorm(name="pre_bn", axis_name=self.graph_axis)(
+            pre, use_running_average=not train)
         pre = jax.nn.relu(pre)
         pre_x = pre.reshape(n, t, v, K, mid)
 
         alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
         beta = self.param("beta", nn.initializers.zeros_init(), (K,))
+
+        if self.graph_axis is not None:
+            assert self.ctr == "T" and self.ada == "T" and \
+                self.ctr_act == "tanh" and self.ada_act == "softmax", \
+                "joint-partition mode supports the standard ctr/ada='T' form"
+            y = self._jp_aggregate(x, pre_x, A_param, alpha, beta, K, mid,
+                                   train)
+            y = PointConv(self.out_channels, name="post_conv")(y)
+            y = BatchNorm(name="bn", axis_name=self.graph_axis)(
+                y, use_running_average=not train)
+            return jax.nn.relu(y + res)
 
         x1 = x2 = None
         if self.ctr is not None or self.ada is not None:
@@ -592,6 +606,65 @@ class DGGCN(nn.Module):
         y = PointConv(self.out_channels, name="post_conv")(y)
         y = BatchNorm(name="bn")(y, use_running_average=not train)
         return jax.nn.relu(y + res)
+
+    def _jp_aggregate(self, x, pre_x, A_param, alpha, beta, K, mid, train):
+        """Joint-partitioned dynamic-graph build + ring aggregation.
+
+        Runs inside shard_map with the joint axis sharded over
+        ``self.graph_axis`` (shard count must divide V — 5 or 25 for NTU).
+        Queries x1 are all-gathered (tiny: (N, K, mid, V)); the large pre_x
+        tensor never replicates — it circulates the ring while each device
+        builds only the (Vsrc, Wlocal) chunk of the per-sample dynamic graph
+        it is about to contract (diff/ADA graphs, reference gcn.py:2296-2361),
+        overlapping the ppermute with the chunk contraction.
+        """
+        axis = self.graph_axis
+        G = jax.lax.axis_size(axis)
+        g = jax.lax.axis_index(axis)
+        n, t, vl, _, _ = pre_x.shape
+        V = A_param.shape[-1]
+        assert vl * G == V, (vl, G, V)
+
+        tmp = x.mean(axis=1, keepdims=True)               # (N, 1, Vl, C)
+        x1 = PointConv(mid * K, name="conv1")(tmp).reshape(n, vl, K, mid)
+        x2 = PointConv(mid * K, name="conv2")(tmp).reshape(n, vl, K, mid)
+        x1 = jnp.transpose(x1, (0, 2, 3, 1))              # (N, K, mid, Vl)
+        x2 = jnp.transpose(x2, (0, 2, 3, 1))
+        x1f = jax.lax.all_gather(x1, axis, axis=-1, tiled=True)  # (N,K,mid,V)
+
+        # ADA graph: softmax over the full source axis, local target columns
+        raw = jnp.einsum("nkcv,nkcw->nkvw", x1f, x2,
+                         preferred_element_type=accum_dtype(x.dtype))
+        ada = jax.nn.softmax(raw, axis=-2).astype(x.dtype)  # (N, K, V, Wl)
+        A_cols = jax.lax.dynamic_slice_in_dim(
+            A_param, g * vl, vl, axis=2).astype(x.dtype)    # (K, V, Wl)
+
+        if self.subset_wise:
+            al = alpha[None, :, None, None, None]
+            be = beta[None, :, None, None]
+        else:
+            al, be = alpha[0], beta[0]
+
+        perm = [(j, (j - 1) % G) for j in range(G)]
+
+        def step(i, carry):
+            y, pre_cur = carry                       # pre_cur from (g+i)%G
+            src = (g + i) % G
+            x1_src = jax.lax.dynamic_slice_in_dim(x1f, src * vl, vl, axis=-1)
+            ctr = jnp.tanh(x1_src[..., :, None] - x2[..., None, :])
+            ada_src = jax.lax.dynamic_slice_in_dim(ada, src * vl, vl, axis=-2)
+            A_src = jax.lax.dynamic_slice_in_dim(A_cols, src * vl, vl, axis=1)
+            Gc = ctr * al + (ada_src * be + A_src[None])[:, :, None]
+            # issue the transfer, then contract the chunk we already hold
+            pre_next = jax.lax.ppermute(pre_cur, axis, perm)
+            y = y + jnp.einsum(
+                "ntvkc,nkcvw->ntwkc", pre_cur, Gc,
+                preferred_element_type=accum_dtype(x.dtype)).astype(y.dtype)
+            return y, pre_next
+
+        y0 = jnp.zeros((n, t, vl, K, mid), x.dtype)
+        y, _ = jax.lax.fori_loop(0, G, step, (y0, pre_x))
+        return y.reshape(n, t, vl, K * mid)
 
 
 def _dispatch_contract(pre_x: Array, A6: Array, ctr, ada) -> Array:

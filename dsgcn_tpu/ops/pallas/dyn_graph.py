@@ -44,35 +44,34 @@ def _edge_proj(ew, x, edge_num, Cm):
     return p.reshape(edge_num, Cm, x.shape[-1])
 
 
-def _graph_parts(x1, x2, A, gates_ref, ew, ebf, sel, *, K, Cm, edge_k,
-                 edge_num):
-    """Rebuild (G, ctr_list, ada) from queries/keys, all in VMEM.
+def _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel, *, Cm, edge_k, edge_num):
+    """Rebuild subset k's graph chunk (G_k, ctr_k, ada_k), all in VMEM.
 
-    x1/x2: (K, Cm, V); A: (K, V, V); gates_ref: (2, K) in SMEM.
+    x1/x2: (K, Cm, V); A: (K, V, V); gates_ref: (2, K) in SMEM.  Working
+    per subset keeps every live tensor at (Cm, V, V) — the full (K*Cm, V, V)
+    stack would pad its (25, 25) trailing dims to (32, 128) VMEM tiles and
+    blow the scoped budget at the wide stages.
+
     ctr of subset ``edge_k`` uses the edge-class attention when ``ew`` given:
     ea[c',v,w] = sum_e sel[e,v,w]*(P1[e,c',v] - P2[e,c',w]) + bias_field.
     """
-    raw = jnp.einsum("kcv,kcw->kvw", x1, x2,
-                     preferred_element_type=jnp.float32)
-    ada = jax.nn.softmax(raw, axis=-2)                 # (K, V, V)
-    ctrs, parts = [], []
-    for k in range(K):
-        alpha_k = gates_ref[0, k]
-        beta_k = gates_ref[1, k]
-        if ew is not None and k == edge_k:
-            p1 = _edge_proj(ew, x1[k], edge_num, Cm)
-            p2 = _edge_proj(ew, x2[k], edge_num, Cm)
-            term = p1[:, :, :, None] - p2[:, :, None, :]        # (E,Cm,V,V)
-            ea = jnp.sum(term * sel[:, None], axis=0)           # (Cm,V,V)
-            if ebf is not None:
-                ea = ea + ebf                                   # (Cm,V,V)
-            ctr_k = jnp.tanh(ea)
-        else:
-            ctr_k = jnp.tanh(x1[k][:, :, None] - x2[k][:, None, :])
-        ctrs.append(ctr_k)
-        # G_k = alpha_k*ctr_k + beta_k*ada_k + A_k, broadcast over Cm
-        parts.append(ctr_k * alpha_k + (ada[k] * beta_k + A[k])[None])
-    return jnp.stack(parts), ctrs, ada                 # (K,Cm,V,V), ., (K,V,V)
+    raw = jax.lax.dot_general(
+        x1[k], x2[k], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (V, W)
+    ada_k = jax.nn.softmax(raw, axis=-2)
+    if ew is not None and k == edge_k:
+        p1 = _edge_proj(ew, x1[k], edge_num, Cm)
+        p2 = _edge_proj(ew, x2[k], edge_num, Cm)
+        term = p1[:, :, :, None] - p2[:, :, None, :]        # (E,Cm,V,V)
+        ea = jnp.sum(term * sel[:, None], axis=0)           # (Cm,V,V)
+        if ebf is not None:
+            ea = ea + ebf                                   # (Cm,V,V)
+        ctr_k = jnp.tanh(ea)
+    else:
+        ctr_k = jnp.tanh(x1[k][:, :, None] - x2[k][:, None, :])
+    # G_k = alpha_k*ctr_k + beta_k*ada_k + A_k, broadcast over Cm
+    G_k = ctr_k * gates_ref[0, k] + (ada_k * gates_ref[1, k] + A[k])[None]
+    return G_k, ctr_k, ada_k
 
 
 def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
@@ -85,22 +84,24 @@ def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
     """
     T, V = pre_ref.shape[1], pre_ref.shape[2]
     pre = pre_ref[0]                                   # (Tt, V, K*Cm)
-    G, _, _ = _graph_parts(
-        x1_ref[0], x2_ref[0], A_ref[...], gates_ref,
-        edge_w_ref[...] if edge_w_ref is not None else None,
-        edge_b_ref[...] if edge_b_ref is not None else None,
-        edge_sel_ref[...] if edge_sel_ref is not None else None,
-        K=K, Cm=Cm, edge_k=edge_k, edge_num=edge_num)
+    x1, x2, A = x1_ref[0], x2_ref[0], A_ref[...]
+    ew = edge_w_ref[...] if edge_w_ref is not None else None
+    ebf = edge_b_ref[...] if edge_b_ref is not None else None
+    sel = edge_sel_ref[...] if edge_sel_ref is not None else None
 
-    # ---- aggregate: y[t,w,k,c] = sum_v pre[t,v,k,c] * G[k,c,v,w] ---------
-    # Mosaic allows at most 1 batch dim on tpu.matmul: flatten (K, Cm).
-    pre_b = jnp.transpose(pre.reshape(T, V, K * Cm), (2, 0, 1))  # (KC, Tt, V)
-    G2 = G.reshape(K * Cm, V, V)
-    y = jax.lax.dot_general(
-        pre_b, G2,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                     # (KC, Tt, W)
-    out_ref[0] = jnp.transpose(y, (1, 2, 0)).astype(out_ref.dtype)
+    # y[t,w,k,c] = sum_v pre[t,v,k,c] * G[k,c,v,w], subset by subset
+    parts = []
+    for k in range(K):
+        G_k, _, _ = _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel,
+                             Cm=Cm, edge_k=edge_k, edge_num=edge_num)
+        pre_k = jnp.transpose(pre[:, :, k * Cm:(k + 1) * Cm],
+                              (2, 0, 1))               # (Cm, Tt, V)
+        y_k = jax.lax.dot_general(
+            pre_k, G_k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (Cm, Tt, W)
+        parts.append(jnp.transpose(y_k, (1, 2, 0)))    # (Tt, W, Cm)
+    out_ref[0] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
 
 
 def _t_tile(T: int, V: int, KC: int, itemsize: int = 4,
@@ -204,7 +205,6 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
     n_id = pl.program_id(0)
     t_id = pl.program_id(1)
     T, V = pre_ref.shape[1], pre_ref.shape[2]
-    KC = K * Cm
     pre = pre_ref[0]
     dy = dy_ref[0]
     x1 = x1_ref[0]
@@ -214,29 +214,9 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
     ebf = ebf_ref[...] if ebf_ref is not None else None
     sel = sel_ref[...] if sel_ref is not None else None
 
-    G, ctrs, ada = _graph_parts(x1, x2, A, gates_ref, ew, ebf, sel,
-                                K=K, Cm=Cm, edge_k=edge_k, edge_num=edge_num)
-    G2 = G.reshape(KC, V, V)
-
-    dy_b = jnp.transpose(dy.reshape(T, V, KC), (2, 0, 1))       # (KC, Tt, W)
-    pre_b = jnp.transpose(pre.reshape(T, V, KC), (2, 0, 1))     # (KC, Tt, V)
-
-    # dpre (this tile): sum_w dy[kc,t,w] G[kc,v,w] -> (KC, Tt, V)
-    dpre = jax.lax.dot_general(
-        dy_b, G2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dpre_ref[0] = jnp.transpose(dpre, (1, 2, 0)).astype(dpre_ref.dtype)
-
-    # dG partial for this tile: sum_t pre[kc,t,v] dy[kc,t,w] -> (KC, V, W)
-    dG_part = jax.lax.dot_general(
-        pre_b, dy_b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
     @pl.when(t_id == 0)
     def _init_scr():
         dG_scr[...] = jnp.zeros_like(dG_scr)
-
-    dG_scr[...] += dG_part
 
     @pl.when(jnp.logical_and(n_id == 0, t_id == 0))
     def _init_accs():
@@ -246,67 +226,86 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
             dew_ref[...] = jnp.zeros_like(dew_ref)
             deb_ref[...] = jnp.zeros_like(deb_ref)
 
-    @pl.when(t_id == nt - 1)
-    def _chain():
-        dG = dG_scr[...].reshape(K, Cm, V, V)
-        dx1_parts, dx2_parts = [], []
-        dA_acc = jnp.zeros((K, V, V), jnp.float32)
-        dal, dbe = [], []
-        for k in range(K):
-            alpha_k = gates_ref[0, k]
-            beta_k = gates_ref[1, k]
-            dGk = dG[k]                                         # (Cm, V, W)
-            ctr_k = ctrs[k]
-            sC = jnp.sum(dGk, axis=0)                           # (V, W)
-            # gate grads
-            dal.append(jnp.sum(dGk * ctr_k))
-            dbe.append(jnp.sum(sC * ada[k]))
-            # ctr path
-            dz = (dGk * alpha_k) * (1.0 - ctr_k * ctr_k)        # (Cm, V, W)
-            if ew is not None and k == edge_k:
-                # through ea = sum_e sel*(P1 - P2) + bias_field
-                dP1 = jnp.einsum("evw,cvw->ecv", sel, dz)       # (E, Cm, V)
-                dP2 = -jnp.einsum("evw,cvw->ecw", sel, dz)
-                dP1f = dP1.reshape(edge_num * Cm, V)
-                dP2f = dP2.reshape(edge_num * Cm, V)
-                dx1_k = jax.lax.dot_general(
-                    ew, dP1f, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)         # (Cm, V)
-                dx2_k = jax.lax.dot_general(
-                    ew, dP2f, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                # d ew[c, ec'] = sum_v x1[c,v] dP1[ec',v] + sum_w x2[c,w] dP2[ec',w]
-                dew = jax.lax.dot_general(
-                    x1[k], dP1f, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) \
-                    + jax.lax.dot_general(
-                    x2[k], dP2f, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)         # (Cm, E*Cm)
-                dew_ref[...] += dew.astype(dew_ref.dtype)
-                # d bias[e,c'] = sum_{v,w} sel[e,v,w] dz[c',v,w] = sum_v dP1
-                deb_ref[...] += jnp.sum(dP1, axis=-1).reshape(
-                    edge_num * Cm).astype(deb_ref.dtype)
-            else:
-                dx1_k = jnp.sum(dz, axis=-1)                    # (Cm, V)
-                dx2_k = -jnp.sum(dz, axis=-2)                   # (Cm, W)
-            # ada path: softmax over the source (v) axis
-            ds = beta_k * sC                                    # (V, W)
-            inner = jnp.sum(ds * ada[k], axis=0, keepdims=True)  # (1, W)
-            draw = ada[k] * (ds - inner)                        # (V, W)
-            dx1_k = dx1_k + jax.lax.dot_general(
-                x2[k], draw, dimension_numbers=(((1,), (1,)), ((), ())),
+    # The chain to (dx1, dx2, dA, dgates) needs the complete dG; rather than
+    # guard with pl.when (scalar VMEM stores don't lower), it is computed
+    # every tile and masked to the last one — its cost is tiny next to the
+    # tile matmuls and the accumulate-zero is free.
+    last = (t_id == nt - 1).astype(jnp.float32)
+
+    # Per subset: everything stays (Cm, ., .)-shaped (see _graph_k note)
+    dpre_parts, dal, dbe = [], [], []
+    for k in range(K):
+        G_k, ctr_k, ada_k = _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel,
+                                     Cm=Cm, edge_k=edge_k, edge_num=edge_num)
+        cs = slice(k * Cm, (k + 1) * Cm)
+        dy_k = jnp.transpose(dy[:, :, cs], (2, 0, 1))           # (Cm, Tt, W)
+        pre_k = jnp.transpose(pre[:, :, cs], (2, 0, 1))         # (Cm, Tt, V)
+
+        # dpre (this tile): sum_w dy[c,t,w] G_k[c,v,w] -> (Cm, Tt, V)
+        dpre_k = jax.lax.dot_general(
+            dy_k, G_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dpre_parts.append(jnp.transpose(dpre_k, (1, 2, 0)))     # (Tt, V, Cm)
+
+        # dG partial for this tile: sum_t pre[c,t,v] dy[c,t,w] -> (Cm, V, W)
+        dG_part = jax.lax.dot_general(
+            pre_k, dy_k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dG_scr[cs] += dG_part
+
+        alpha_k = gates_ref[0, k]
+        beta_k = gates_ref[1, k]
+        dGk = dG_scr[cs]                                        # (Cm, V, W)
+        sC = jnp.sum(dGk, axis=0)                               # (V, W)
+        dal.append(jnp.sum(dGk * ctr_k))
+        dbe.append(jnp.sum(sC * ada_k))
+        # ctr path
+        dz = (dGk * alpha_k) * (1.0 - ctr_k * ctr_k)            # (Cm, V, W)
+        if ew is not None and k == edge_k:
+            # through ea = sum_e sel*(P1 - P2) + bias_field
+            dP1 = jnp.einsum("evw,cvw->ecv", sel, dz)           # (E, Cm, V)
+            dP2 = -jnp.einsum("evw,cvw->ecw", sel, dz)
+            dP1f = dP1.reshape(edge_num * Cm, V)
+            dP2f = dP2.reshape(edge_num * Cm, V)
+            dx1_k = jax.lax.dot_general(
+                ew, dP1f, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)             # (Cm, V)
-            dx2_k = dx2_k + jax.lax.dot_general(
-                x1[k], draw, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (Cm, W)
-            dx1_parts.append(dx1_k)
-            dx2_parts.append(dx2_k)
-            dA_acc = dA_acc.at[k].set(sC)
-        dx1_ref[0] = jnp.stack(dx1_parts).astype(dx1_ref.dtype)
-        dx2_ref[0] = jnp.stack(dx2_parts).astype(dx2_ref.dtype)
-        dA_ref[...] += dA_acc.astype(dA_ref.dtype)
-        dgates_ref[0, :] += jnp.stack(dal).astype(dgates_ref.dtype)
-        dgates_ref[1, :] += jnp.stack(dbe).astype(dgates_ref.dtype)
+            dx2_k = jax.lax.dot_general(
+                ew, dP2f, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # d ew[c, ec'] = sum_v x1[c,v] dP1[ec',v] + sum_w x2[c,w] dP2[ec',w]
+            dew = jax.lax.dot_general(
+                x1[k], dP1f, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + jax.lax.dot_general(
+                x2[k], dP2f, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (Cm, E*Cm)
+            dew_ref[...] += (dew * last).astype(dew_ref.dtype)
+            # d bias[e,c'] = sum_{v,w} sel[e,v,w] dz[c',v,w] = sum_v dP1
+            deb_ref[...] += (jnp.sum(dP1, axis=-1).reshape(edge_num * Cm)
+                             * last).astype(deb_ref.dtype)
+        else:
+            dx1_k = jnp.sum(dz, axis=-1)                        # (Cm, V)
+            dx2_k = -jnp.sum(dz, axis=-2)                       # (Cm, W)
+        # ada path: softmax over the source (v) axis
+        ds = beta_k * sC                                        # (V, W)
+        inner = jnp.sum(ds * ada_k, axis=0, keepdims=True)      # (1, W)
+        draw = ada_k * (ds - inner)                             # (V, W)
+        dx1_k = dx1_k + jax.lax.dot_general(
+            x2[k], draw, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (Cm, V)
+        dx2_k = dx2_k + jax.lax.dot_general(
+            x1[k], draw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (Cm, W)
+        # final-tile write wins; earlier tiles hold partial-dG values the
+        # last revision overwrites before the block moves to the next n
+        dx1_ref[0, k] = dx1_k.astype(dx1_ref.dtype)
+        dx2_ref[0, k] = dx2_k.astype(dx2_ref.dtype)
+        dA_ref[k] += (sC * last).astype(dA_ref.dtype)
+
+    dgates_ref[...] += (jnp.stack([jnp.stack(dal), jnp.stack(dbe)])
+                        * last).astype(dgates_ref.dtype)
+    dpre_ref[0] = jnp.concatenate(dpre_parts, axis=-1).astype(dpre_ref.dtype)
 
 
 def _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, dy,

@@ -21,20 +21,24 @@ DEFAULT_MS_CFG: Tuple[MsCfgEntry, ...] = ((3, 1), (3, 2), (3, 3), (3, 4), ("max"
 
 
 class UnitTCN(nn.Module):
-    """k x 1 temporal conv + BN + dropout (reference unit_tcn, tcn.py:10-37)."""
+    """k x 1 temporal conv + BN + dropout (reference unit_tcn, tcn.py:10-37).
+
+    ``bn_axis``: sync BN stats over a mesh axis (joint-partition sharding)."""
     out_channels: int
     kernel_size: int = 9
     stride: int = 1
     dilation: int = 1
     norm: Optional[str] = "BN"
     dropout: float = 0.0
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         y = TemporalConv(self.out_channels, self.kernel_size, self.stride,
                          self.dilation, name="conv")(x)
         if self.norm is not None:
-            y = BatchNorm(name="bn")(y, use_running_average=not train)
+            y = BatchNorm(name="bn", axis_name=self.bn_axis)(
+                y, use_running_average=not train)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return y
@@ -124,9 +128,11 @@ class _MSBranches(nn.Module):
     channel_annention: bool = False   # mlp branches only (gcmlp passthrough)
     add_tcn: bool = False
     merge_after: bool = False
+    bn_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, *, train: bool,
+                 bn_weight: Optional[Array] = None) -> Array:
         num_branches = len(self.ms_cfg)
         if self.mid_channels is None:
             mid = self.out_channels // num_branches
@@ -145,7 +151,8 @@ class _MSBranches(nn.Module):
                 continue
             kind, val = cfg
             b = PointConv(branch_c, name=f"branch{i}_pre")(x)
-            b = BatchNorm(name=f"branch{i}_bn")(b, use_running_average=not train)
+            b = BatchNorm(name=f"branch{i}_bn", axis_name=self.bn_axis)(
+                b, use_running_average=not train, weight=bn_weight)
             b = jax.nn.relu(b)
             if kind == "max":
                 b = max_pool_t(b, window=val, stride=self.stride, padding=1)
@@ -237,24 +244,44 @@ class DGMSTCN(nn.Module):
     ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
     stride: int = 1
     branch_kind: str = "tcn"    # 'mlp' -> the author's dgmsmlp (tcn.py:432-524)
+    graph_axis: Optional[str] = None   # joint-partition mesh axis
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         n, t, v, c = x.shape
         add_coeff = self.param("add_coeff", nn.initializers.zeros_init(),
                                (self.num_joints,))
+        if self.graph_axis is None:
+            mean_joint = x.mean(axis=2, keepdims=True)
+            coeff = add_coeff[:v]
+            bn_weight = None
+        else:
+            # every shard appends the SAME global-mean joint; branch BN stats
+            # weight it 1/G so it counts once, matching the unsharded model
+            gsz = jax.lax.axis_size(self.graph_axis)
+            gi = jax.lax.axis_index(self.graph_axis)
+            mean_joint = jax.lax.psum(x.sum(axis=2, keepdims=True),
+                                      self.graph_axis) / (gsz * v)
+            coeff = jax.lax.dynamic_slice_in_dim(add_coeff, gi * v, v)
+            bn_weight = jnp.concatenate(
+                [jnp.ones((v, 1), x.dtype),
+                 jnp.full((1, 1), 1.0 / gsz, x.dtype)], axis=0)
         # append global mean joint (tcn.py:409)
-        xg = jnp.concatenate([x, x.mean(axis=2, keepdims=True)], axis=2)
+        xg = jnp.concatenate([x, mean_joint.astype(x.dtype)], axis=2)
         out = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
                           self.stride, self.branch_kind,
-                          name="branches")(xg, train=train)
+                          bn_axis=self.graph_axis,
+                          name="branches")(xg, train=train,
+                                           bn_weight=bn_weight)
         local_feat = out[:, :, :v]
         global_feat = out[:, :, v]                       # (N, T', C')
-        feat = local_feat + global_feat[:, :, None, :] * add_coeff[:v][None, None, :, None]
-        feat = BatchNorm(name="transform_bn")(feat, use_running_average=not train)
+        feat = local_feat + global_feat[:, :, None, :] * coeff[None, None, :, None]
+        feat = BatchNorm(name="transform_bn", axis_name=self.graph_axis)(
+            feat, use_running_average=not train)
         feat = jax.nn.relu(feat)
         feat = PointConv(self.out_channels, name="transform_conv")(feat)
-        feat = BatchNorm(name="bn")(feat, use_running_average=not train)
+        feat = BatchNorm(name="bn", axis_name=self.graph_axis)(
+            feat, use_running_average=not train)
         if self.dropout > 0:
             feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
         return feat

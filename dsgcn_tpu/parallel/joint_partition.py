@@ -106,3 +106,35 @@ def jp_unit_gcn_forward(x: jnp.ndarray, A: jnp.ndarray, conv_kernel,
 def edges_per_second(V: int, K: int, batch: int, T: int, seconds: float) -> float:
     """Edges/s metric: every (k, v, w) pair processed per (batch, frame)."""
     return batch * T * K * V * V / seconds
+
+
+def jp_comm_volume(n: int, t: int, V: int, K: int, mid: int, G: int,
+                   itemsize: int = 4) -> dict:
+    """Per-device communication accounting for one joint-partitioned dggcn
+    block (DGGCN._jp_aggregate): what crosses ICI per forward.
+
+    * ``allgather_bytes``: the (N, K, mid, V) query tensor x1 — gathered once
+      (each device receives (G-1)/G of it).
+    * ``ppermute_bytes``: the (N, T, V/G, K, mid) pre_x shard circulates
+      G-1 hops (the G-th ppermute carries it back to its origin and is dead
+      code the compiler can drop, but we count the issued volume).
+    * ``overlap_flops_per_hop``: MXU work issued after each ppermute — the
+      per-chunk contraction 2*N*T*K*mid*(V/G)^2 — so DMA and matmul proceed
+      concurrently.
+
+    Honest accounting: the per-hop arithmetic intensity is
+    overlap_flops / hop_bytes = (V/G)/2 FLOP per byte — K, mid, N and T all
+    cancel.  At V=25 that is at most ~12 FLOP/B, far below the ~4000 FLOP/B
+    a v5e needs to hide ICI behind the MXU, so the ring is
+    bandwidth-dominated whenever the contraction runs near peak: the graph
+    axis buys per-device activation memory (1/G) and a second scaling axis
+    when the batch cannot grow, not free FLOPs.  This is a property of the
+    25-joint skeleton (the reference has no comparable axis at all,
+    SURVEY §2.9); the accounting below keeps the claim measurable.
+    """
+    vl = V // G
+    allgather = n * K * mid * (V - vl) * itemsize
+    ppermute = n * t * vl * K * mid * G * itemsize
+    chunk_flops = 2 * n * t * K * mid * vl * vl
+    return dict(allgather_bytes=allgather, ppermute_bytes=ppermute,
+                overlap_flops_per_hop=chunk_flops)
