@@ -359,10 +359,11 @@ def build_dataset(dcfg: Dict, test_mode: bool = False):
 
 
 class VideoDataset:
-    """Text-annotation dataset: one "<filename> <label>" per line (reference
-    datasets/video_dataset.py:9).  Samples carry the filename for a video
-    decoder pipeline; without the RGB branch this serves label bookkeeping
-    and pipelines that load their own data from the filename."""
+    """Text-annotation dataset (reference datasets/video_dataset.py:9).
+
+    Line formats: "<filename> <label>" (video files, decord pipelines) or
+    the rawframe form "<frame_dir> <total_frames> <label>" (mmaction
+    RawframeDataset convention) for RawFrameDecode pipelines."""
 
     def __init__(self, ann_file: str, pipeline, data_prefix: str = "",
                  test_mode: bool = False):
@@ -372,11 +373,17 @@ class VideoDataset:
         self.video_infos = []
         with open(ann_file) as f:
             for line in f:
-                if not line.strip():
+                parts = line.split()
+                if not parts:
                     continue
-                name, label = line.rsplit(maxsplit=1)
-                self.video_infos.append(dict(
-                    filename=data_prefix + name, label=int(label)))
+                if len(parts) == 3:
+                    self.video_infos.append(dict(
+                        frame_dir=data_prefix + parts[0],
+                        total_frames=int(parts[1]), label=int(parts[2])))
+                else:
+                    name, label = parts
+                    self.video_infos.append(dict(
+                        filename=data_prefix + name, label=int(label)))
 
     def __len__(self):
         return len(self.video_infos)

@@ -683,6 +683,28 @@ class FormatGCNInput:
         return results
 
 
+class FormatShape:
+    """Stack decoded frames into the model input layout (reference
+    formatting.py:164-231 FormatShape).  TPU-native divergence (documented):
+    the reference emits channels-FIRST formats (NCTHW/NCHW) for torch; our
+    CNNs are channels-last, so 'NTHWC' stacks to (T, H, W, C) (T = num_clips
+    x clip_len; multi-clip folding happens at eval time) and 'NCTHW' is
+    accepted as an alias that emits the same channels-last layout."""
+    randomized = False
+
+    def __init__(self, input_format: str = "NTHWC"):
+        assert input_format in ("NTHWC", "THWC", "NCTHW")
+        self.input_format = input_format
+
+    def __call__(self, results: Dict, rng=None) -> Dict:
+        imgs = results["imgs"]
+        if isinstance(imgs, (list, tuple)):
+            imgs = np.stack(imgs)
+        results["imgs"] = np.ascontiguousarray(imgs)
+        results["input_shape"] = results["imgs"].shape
+        return results
+
+
 class Collect:
     randomized = False
 
@@ -714,7 +736,7 @@ TRANSFORMS = {c.__name__: c for c in
                GenSkeFeat, GaussAug, Causalmetrix,
                UniformSampleFrames, UniformSample,
                UniformSampleOrder, PoseDecode, DecompressPose,
-               PadTo, FormatGCNInput, Collect, Rename]
+               PadTo, FormatGCNInput, FormatShape, Collect, Rename]
               + _heatmap_transforms()}
 
 

@@ -141,3 +141,53 @@ def test_confusion_matrix_figure_normalizes_rows(tmp_path):
     p = confusion_matrix_figure(cm, out_path=str(tmp_path / "cm.png"))
     img = np.asarray(Image.open(p))
     assert img.ndim == 3 and img.shape[0] > 100
+
+
+def test_videodataset_e2e_rawframe_loader(tmp_path):
+    """VideoDataset end-to-end with real frame decode (VERDICT item 10):
+    text annos -> RawFrameDecode pipeline -> Loader batches -> Recognizer2D
+    forward."""
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+    from dsgcn_tpu.data.dataset import Loader, VideoDataset
+    from dsgcn_tpu.models.builder import build_model
+
+    for c in range(2):
+        d = tmp_path / f"clip{c}"
+        d.mkdir()
+        for i in range(8):
+            arr = RNG.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i:05}.jpg")
+    ann = tmp_path / "annos.txt"
+    ann.write_text("".join(f"clip{c} 8 {c}\n" for c in range(2)))
+
+    pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1,
+             num_clips=4),
+        dict(type="RawFrameDecode", filename_tmpl="img_{:05}.jpg"),
+        dict(type="Resize", scale=(16, 16), keep_ratio=False),
+        dict(type="Normalize", mean=[127.5] * 3, std=[127.5] * 3),
+        dict(type="FormatShape", input_format="NTHWC"),
+        dict(type="Collect", keys=["imgs", "label"]),
+    ]
+    ds = VideoDataset(str(ann), pipeline, data_prefix=str(tmp_path) + "/")
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=0)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["imgs"].shape == (2, 4, 16, 16, 3)
+    assert list(batch["label"]) == [0, 1]
+    # real pixels survived decode+resize+normalize: values centered, not 0
+    assert 0.05 < np.abs(batch["imgs"]).mean() < 1.0
+
+    model = build_model(dict(
+        type="Recognizer2D",
+        backbone=dict(type="ResNet3d", depth=18, num_stages=2,
+                      stage_blocks=[1, 1], base_channels=8,
+                      conv1_kernel=[1, 7, 7], spatial_strides=[1, 2],
+                      temporal_strides=[1, 1]),
+        cls_head=dict(type="TSNHead", num_classes=3, in_channels=16)))
+    x = jnp.asarray(batch["imgs"])
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(v, x, train=False)
+    assert logits.shape == (2, 3)
