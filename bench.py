@@ -17,9 +17,18 @@ saturated batch, achieved TFLOP/s + MFU from XLA's cost analysis, edges/s.
 Prints ONE JSON line.
 """
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg):
+    """Progress to stderr (driver reads the stdout JSON line only)."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 PEAK_TFLOPS = {  # dense MXU peak (bf16), per chip
     "TPU v5 lite": 197.0,
@@ -66,12 +75,19 @@ def main():
     for name in ("dgstgcn", "dsgcn"):
         # Pallas fused dynamic-graph kernel is the default on TPU
         model = build_named_model(name, num_classes=60)
-        variables = model.init(jax.random.PRNGKey(0), x16[:2], train=False)
+        # jit the init: eager init dispatches each op over the remote tunnel
+        # (~3 min of round-trips); jitted it is one cached compile
+        _mark(f"{name}: init")
+        variables = jax.jit(
+            lambda k, x_: model.init(k, x_, train=False))(
+            jax.random.PRNGKey(0), x16[:2])
         models[name] = (model, variables)
         fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False).sum())
+        _mark(f"{name}: infer b16")
         results[f"{name}_infer_fps_b16"] = 16 / _bench_scalar(
             fwd, (variables, x16), iters=10, reps=3)
         sb = sat_batch[name]
+        _mark(f"{name}: infer b{sb}")
         dt = _bench_scalar(fwd, (variables, x1k[:sb]), iters=4)
         results[f"{name}_infer_fps_b{sb}"] = sb / dt
 
@@ -83,13 +99,25 @@ def main():
         results[f"{name}_infer_mfu_pct"] = 100.0 * flops / dt / peak
 
         # training throughput (clips/s/chip): b64 (round-1 comparable) and
-        # saturated batch (the Pallas backward keeps the (N,K,Cm,V,V) graph
-        # tensors out of HBM, so saturated-batch training fits)
-        for bs in (64, 256):
+        # saturated batch.  The Pallas backward keeps the (N,K,Cm,V,V) graph
+        # tensors out of HBM; at saturated batch the remaining pressure is
+        # plain fwd->bwd activation storage (~25 GB at b256xT100), so the
+        # saturated row additionally remats each backbone block (inputs-only
+        # residency, ~3 GB) — the production large-batch training config.
+        from dsgcn_tpu.models.builder import build_model, model_cfg
+        cfg_r = model_cfg(name, num_classes=60)
+        cfg_r["backbone"]["remat"] = True
+        model_r = build_model(cfg_r)
+        _mark(f"{name}: remat init")
+        vars_r = jax.jit(
+            lambda k, x_: model_r.init(k, x_, train=False))(
+            jax.random.PRNGKey(0), x16[:2])
+        for bs, mdl, vr in ((64, model, variables), (256, model_r, vars_r)):
+            _mark(f"{name}: train b{bs}")
             xb = x1k[:bs]
-            params, stats = variables["params"], variables.get("batch_stats", {})
+            params, stats = vr["params"], vr.get("batch_stats", {})
             tx, _ = make_optimizer(lr=0.1, total_steps=100)
-            state = TrainState.create(model.apply, params, stats, tx)
+            state = TrainState.create(mdl.apply, params, stats, tx)
             tb = dict(keypoint=xb,
                       label=jnp.asarray(rng.integers(0, 60, size=bs)))
             step = jax.jit(train_step)
@@ -100,13 +128,15 @@ def main():
             for _ in range(iters):
                 state, metrics = step(state, tb, jax.random.PRNGKey(0))
             float(metrics["loss"])   # forces the whole dependent chain
-            results[f"{name}_train_clips_per_sec_b{bs}"] = bs * iters / (
+            tag = f"b{bs}" + ("_remat" if mdl is model_r else "")
+            results[f"{name}_train_clips_per_sec_{tag}"] = bs * iters / (
                 time.perf_counter() - t0)
 
     # XLA (non-Pallas) dynamic-graph path for comparison
     model, variables = models["dsgcn"]
     model_xla = build_named_model("dsgcn", num_classes=60, use_pallas=False)
     fwd = jax.jit(lambda v_, x_: model_xla.apply(v_, x_, train=False).sum())
+    _mark("dsgcn: xla-path infer b1024")
     results["dsgcn_infer_fps_b1024_xla"] = 1024 / _bench_scalar(
         fwd, (variables, x1k), iters=3)
 
@@ -119,6 +149,7 @@ def main():
         variables["params"]),
         "batch_stats": variables.get("batch_stats", {})}
     fwd = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False).sum())
+    _mark("dsgcn: bf16 infer b1024")
     dt = _bench_scalar(fwd, (vb, x1k), iters=4)
     results["dsgcn_infer_fps_b1024_bf16"] = 1024 / dt
     comp = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False)) \

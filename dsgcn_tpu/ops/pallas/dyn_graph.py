@@ -89,7 +89,11 @@ def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
     ebf = edge_b_ref[...] if edge_b_ref is not None else None
     sel = edge_sel_ref[...] if edge_sel_ref is not None else None
 
-    # y[t,w,k,c] = sum_v pre[t,v,k,c] * G[k,c,v,w], subset by subset
+    # y[t,w,k,c] = sum_v pre[t,v,k,c] * G[k,c,v,w], subset by subset.
+    # In bf16 mode the graph builds in f32 (x1/x2/A/gates are pre-cast on
+    # the host: Mosaic can't insert minor dims on 16-bit vectors) and the
+    # contraction runs with a bf16 graph at the full MXU bf16 rate,
+    # accumulating f32 — the pre/out HBM tensors stay bf16.
     parts = []
     for k in range(K):
         G_k, _, _ = _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel,
@@ -97,11 +101,19 @@ def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
         pre_k = jnp.transpose(pre[:, :, k * Cm:(k + 1) * Cm],
                               (2, 0, 1))               # (Cm, Tt, V)
         y_k = jax.lax.dot_general(
-            pre_k, G_k,
+            pre_k, G_k.astype(pre.dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # (Cm, Tt, W)
         parts.append(jnp.transpose(y_k, (1, 2, 0)))    # (Tt, W, Cm)
     out_ref[0] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
+
+
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
 
 
 def _t_tile(T: int, V: int, KC: int, itemsize: int = 4,
@@ -117,20 +129,55 @@ def _t_tile(T: int, V: int, KC: int, itemsize: int = 4,
     return 1
 
 
-def _edge_specs_args(edge_w, edge_b, edge_sel, edge_num, Cm, dtype, ndim=2):
-    """Shared VMEM specs/args for the edge-attention constants."""
+def _bwd_plan(T: int, V: int, K: int, Cm: int, has_edge: bool,
+              edge_num: int = 15, budget: int = 13 * 2 ** 20):
+    """(kg, tt) for the backward grid: subsets are processed ``kg`` at a time
+    so the (kg*Cm, V, V) dG scratch plus the per-subset graph temporaries fit
+    the 16 MB scoped-VMEM stack *with Mosaic's tile padding counted* — the
+    (25, 25) trailing plane pads to (32, 128), a 6.55x expansion that a naive
+    element count misses (round-1 OOM at the K*Cm=512 stage was exactly
+    this).  Larger kg = wider contiguous channel slices per block (less
+    padding waste on the pre/dy/dpre HBM traffic), so take the largest
+    (kg, tt) lexicographically that fits."""
+    Vp, Wp = _pad8(V), _pad128(V)
+    graph = Cm * Vp * Wp * 4                      # one f32 (Cm, V, V) temp
+    per_subset = 6 * graph                        # live per-j temps (G, ctr,
+    #                                               dz, dG_part, scratch reads)
+    edge = (4 * edge_num * _pad8(Cm) * Wp * 4 + 2 * graph) if has_edge else 0
+    for kg in sorted((d for d in range(1, K + 1) if K % d == 0), reverse=True):
+        # the (tt, V, kg*Cm) channel block must keep a lowerable trailing
+        # dim: 128-aligned or the full K*Cm
+        if kg != K and (kg * Cm) % 128 != 0:
+            continue
+        scratch = kg * graph                      # dG accumulator
+        for tt in sorted((d for d in range(1, T + 1) if T % d == 0),
+                         reverse=True):
+            # ~14 tile-sized live copies measured on v5e: 2x double-buffered
+            # pre/dy/dpre blocks, the per-j (Cm, Tt, V) transposes, the
+            # dpre_parts list + final concat
+            tiles = 14 * tt * Vp * _pad128(kg * Cm) * 4
+            if scratch + per_subset + edge + tiles <= budget:
+                return kg, tt
+    return K, 1
+
+
+def _edge_specs_args(edge_w, edge_b, edge_sel, edge_num, Cm):
+    """Shared VMEM specs/args for the edge-attention constants (f32: the
+    in-kernel graph build runs f32 whatever the compute dtype)."""
+    f32 = jnp.float32
+    edge_w = edge_w.astype(f32)
+    edge_sel = edge_sel.astype(f32)
     if edge_b is None:
-        edge_b = jnp.zeros((edge_num * Cm,), dtype)
+        edge_b = jnp.zeros((edge_num * Cm,), f32)
     # bias field b[class(v,w), c] as a constant (Cm, V, V) array
     bias_field = jnp.einsum("evw,ec->cvw", edge_sel,
-                            edge_b.reshape(edge_num, Cm))
-    idx = (lambda n, t: (0, 0)) if ndim == 2 else None
+                            edge_b.astype(f32).reshape(edge_num, Cm))
     specs = [
-        pl.BlockSpec(edge_w.shape, lambda n, t: (0, 0),
+        pl.BlockSpec(edge_w.shape, lambda *a: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(bias_field.shape, lambda n, t: (0, 0, 0),
+        pl.BlockSpec(bias_field.shape, lambda *a: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(edge_sel.shape, lambda n, t: (0, 0, 0),
+        pl.BlockSpec(edge_sel.shape, lambda *a: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return specs, [edge_w, bias_field, edge_sel]
@@ -139,7 +186,12 @@ def _edge_specs_args(edge_w, edge_b, edge_sel, edge_num, Cm, dtype, ndim=2):
 def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
                 K, Cm, edge_k, edge_num, interpret=False):
     N, T, V, KC = pre_x.shape
-    gates = jnp.stack([alpha, beta])                            # (2, K)
+    # graph-build operands in f32 regardless of compute dtype: they are tiny
+    # next to pre_x, the graph math wants f32, and Mosaic cannot lower the
+    # (V,) -> (V, 1) minor-dim broadcasts of the diff graph on 16-bit types
+    f32 = jnp.float32
+    x1, x2, A = x1.astype(f32), x2.astype(f32), A.astype(f32)
+    gates = jnp.stack([alpha.astype(f32), beta.astype(f32)])    # (2, K)
     # Tile T so wide stages (large K*Cm) stay inside scoped VMEM; the dynamic
     # graph is T-invariant, so tiles just rebuild it (cheap vs the contraction)
     tt = _t_tile(T, V, KC, pre_x.dtype.itemsize)
@@ -162,7 +214,7 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
                     edge_w_ref=ewr, edge_b_ref=ebr, edge_sel_ref=esr,
                     edge_k=edge_k, edge_num=edge_num)
         especs, eargs = _edge_specs_args(edge_w, edge_b, edge_sel, edge_num,
-                                         Cm, pre_x.dtype)
+                                         Cm)
         in_specs += especs
         args += eargs
     else:
@@ -180,11 +232,33 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
     )(*args)
 
 
+def _edge_ctr(x1j, x2j, ew, ebf, sel, edge_num, Cm):
+    """Edge-class-attention ctr field for one subset: tanh of
+    ea[c,v,w] = sum_e sel[e,v,w]*(P1[e,c,v] - P2[e,c,w]) + bias_field.
+
+    The per-class sum runs as a static Python loop so the live set stays one
+    (Cm, V, W) temporary — the vectorized (E, Cm, V, V) broadcast pads to
+    ~16 MB at Cm=64 and blows the scoped-VMEM stack."""
+    p1 = _edge_proj(ew, x1j, edge_num, Cm)              # (E, Cm, V)
+    p2 = _edge_proj(ew, x2j, edge_num, Cm)
+    ea = ebf
+    for e in range(edge_num):
+        ea = ea + sel[e][None] * (p1[e][:, :, None] - p2[e][:, None, :])
+    return jnp.tanh(ea)
+
+
 def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
-                *rest, K: int, Cm: int, edge_k: int, edge_num: int, nt: int,
-                has_edge: bool):
+                *rest, K: int, kg: int, Cm: int, edge_k: int, edge_num: int,
+                nt: int, has_edge: bool):
     """Backward: dG accumulated over T-tiles in VMEM scratch, then chained
     through the graph build on the last tile of each batch element.
+
+    Grid is (K//kg, N, nt) — subset groups OUTERMOST so the dA / dgates /
+    edge-weight accumulator blocks (whose index maps depend only on the group
+    id or are constant) stay resident in VMEM across the whole (N, T) sweep
+    they accumulate over.  Each group carries kg subsets (~128 lanes of
+    channels), keeping every graph-shaped live tensor at (Cm, V, V) and the
+    scratch at (kg*Cm, V, V) — see ``_bwd_plan``.
 
     Math (per batch element; G as in the forward):
       dpre[t,v,kc] = sum_w dy[t,w,kc] * G[kc,v,w]
@@ -197,30 +271,45 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
     """
     if has_edge:
         (ew_ref, ebf_ref, sel_ref, dpre_ref, dx1_ref, dx2_ref, dA_ref,
-         dgates_ref, dew_ref, deb_ref, dG_scr) = rest
+         dgates_ref, dew_ref, deb_ref, dG_scr, ctr_scr, dq_scr) = rest
     else:
         (dpre_ref, dx1_ref, dx2_ref, dA_ref, dgates_ref, dG_scr) = rest
         ew_ref = ebf_ref = sel_ref = dew_ref = deb_ref = None
+        ctr_scr = dq_scr = None
 
-    n_id = pl.program_id(0)
-    t_id = pl.program_id(1)
-    T, V = pre_ref.shape[1], pre_ref.shape[2]
-    pre = pre_ref[0]
-    dy = dy_ref[0]
-    x1 = x1_ref[0]
+    g_id = pl.program_id(0)
+    n_id = pl.program_id(1)
+    t_id = pl.program_id(2)
+    V = pre_ref.shape[2]
+    # bf16 mode: grads accumulate in f32, so lift the tiles once on load
+    pre = pre_ref[0].astype(jnp.float32)               # (Tt, V, kg*Cm)
+    dy = dy_ref[0].astype(jnp.float32)
+    x1 = x1_ref[0]                                     # (kg, Cm, V) f32
     x2 = x2_ref[0]
-    A = A_ref[...]
+    A = A_ref[...]                                     # (kg, V, V)
     ew = ew_ref[...] if ew_ref is not None else None
     ebf = ebf_ref[...] if ebf_ref is not None else None
     sel = sel_ref[...] if sel_ref is not None else None
+    # group/offset of the edge-attention subset (static)
+    g_edge, j_edge = (edge_k // kg, edge_k % kg) if edge_k >= 0 else (-1, -1)
 
     @pl.when(t_id == 0)
     def _init_scr():
         dG_scr[...] = jnp.zeros_like(dG_scr)
 
     @pl.when(jnp.logical_and(n_id == 0, t_id == 0))
-    def _init_accs():
+    def _init_dA():
+        # the dA block is per-group (index map depends only on g, which is
+        # outermost), so it zeros once per group and then stays resident
+        # across the whole (N, T) sweep it accumulates over.
         dA_ref[...] = jnp.zeros_like(dA_ref)
+
+    @pl.when(jnp.logical_and(g_id == 0,
+                             jnp.logical_and(n_id == 0, t_id == 0)))
+    def _init_accs():
+        # dgates (and edge) accumulators span all groups: K is too small to
+        # block along (SMEM/VMEM blocks need 8/128-aligned trailing dims),
+        # so they ride full-shape with a constant index map.
         dgates_ref[...] = jnp.zeros_like(dgates_ref)
         if dew_ref is not None:
             dew_ref[...] = jnp.zeros_like(dew_ref)
@@ -232,105 +321,142 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
     # tile matmuls and the accumulate-zero is free.
     last = (t_id == nt - 1).astype(jnp.float32)
 
-    # Per subset: everything stays (Cm, ., .)-shaped (see _graph_k note)
-    dpre_parts, dal, dbe = [], [], []
-    for k in range(K):
-        G_k, ctr_k, ada_k = _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel,
-                                     Cm=Cm, edge_k=edge_k, edge_num=edge_num)
-        cs = slice(k * Cm, (k + 1) * Cm)
-        dy_k = jnp.transpose(dy[:, :, cs], (2, 0, 1))           # (Cm, Tt, W)
-        pre_k = jnp.transpose(pre[:, :, cs], (2, 0, 1))         # (Cm, Tt, V)
+    dpre_parts = []
+    for j in range(kg):
+        kglob = g_id * kg + j                          # traced subset id
+        alpha_j = gates_ref[0, kglob]                  # dynamic SMEM read
+        beta_j = gates_ref[1, kglob]
+        raw = jax.lax.dot_general(
+            x1[j], x2[j], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (V, W)
+        ada_j = jax.nn.softmax(raw, axis=-2)
+        if has_edge and j == j_edge:
+            @pl.when(g_id == g_edge)
+            def _ctr_edge():
+                ctr_scr[...] = _edge_ctr(x1[j], x2[j], ew, ebf, sel,
+                                         edge_num, Cm)
 
-        # dpre (this tile): sum_w dy[c,t,w] G_k[c,v,w] -> (Cm, Tt, V)
-        dpre_k = jax.lax.dot_general(
-            dy_k, G_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            @pl.when(g_id != g_edge)
+            def _ctr_plain():
+                ctr_scr[...] = jnp.tanh(x1[j][:, :, None] - x2[j][:, None, :])
+            ctr_j = ctr_scr[...]
+        else:
+            ctr_j = jnp.tanh(x1[j][:, :, None] - x2[j][:, None, :])
+        G_j = ctr_j * alpha_j + (ada_j * beta_j + A[j])[None]
+
+        cs = slice(j * Cm, (j + 1) * Cm)
+        dy_j = jnp.transpose(dy[:, :, cs], (2, 0, 1))           # (Cm, Tt, W)
+        pre_j = jnp.transpose(pre[:, :, cs], (2, 0, 1))         # (Cm, Tt, V)
+
+        # dpre (this tile): sum_w dy[c,t,w] G_j[c,v,w] -> (Cm, Tt, V)
+        dpre_j = jax.lax.dot_general(
+            dy_j, G_j, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dpre_parts.append(jnp.transpose(dpre_k, (1, 2, 0)))     # (Tt, V, Cm)
+        dpre_parts.append(jnp.transpose(dpre_j, (1, 2, 0)))     # (Tt, V, Cm)
 
         # dG partial for this tile: sum_t pre[c,t,v] dy[c,t,w] -> (Cm, V, W)
         dG_part = jax.lax.dot_general(
-            pre_k, dy_k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            pre_j, dy_j, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dG_scr[cs] += dG_part
 
-        alpha_k = gates_ref[0, k]
-        beta_k = gates_ref[1, k]
-        dGk = dG_scr[cs]                                        # (Cm, V, W)
-        sC = jnp.sum(dGk, axis=0)                               # (V, W)
-        dal.append(jnp.sum(dGk * ctr_k))
-        dbe.append(jnp.sum(sC * ada_k))
+        dGj = dG_scr[cs]                                        # (Cm, V, W)
+        sC = jnp.sum(dGj, axis=0)                               # (V, W)
+        da_j = jnp.sum(dGj * ctr_j)
+        db_j = jnp.sum(sC * ada_j)
+        # scalar VMEM stores don't lower; accumulate through a one-hot column
+        col = (jax.lax.broadcasted_iota(jnp.int32, (2, K), 1)
+               == kglob).astype(jnp.float32)
+        dgates_ref[...] += (col * jnp.stack([da_j, db_j])[:, None]
+                            * last).astype(dgates_ref.dtype)
         # ctr path
-        dz = (dGk * alpha_k) * (1.0 - ctr_k * ctr_k)            # (Cm, V, W)
-        if ew is not None and k == edge_k:
-            # through ea = sum_e sel*(P1 - P2) + bias_field
-            dP1 = jnp.einsum("evw,cvw->ecv", sel, dz)           # (E, Cm, V)
-            dP2 = -jnp.einsum("evw,cvw->ecw", sel, dz)
-            dP1f = dP1.reshape(edge_num * Cm, V)
-            dP2f = dP2.reshape(edge_num * Cm, V)
-            dx1_k = jax.lax.dot_general(
-                ew, dP1f, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (Cm, V)
-            dx2_k = jax.lax.dot_general(
-                ew, dP2f, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # d ew[c, ec'] = sum_v x1[c,v] dP1[ec',v] + sum_w x2[c,w] dP2[ec',w]
-            dew = jax.lax.dot_general(
-                x1[k], dP1f, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) \
-                + jax.lax.dot_general(
-                x2[k], dP2f, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (Cm, E*Cm)
-            dew_ref[...] += (dew * last).astype(dew_ref.dtype)
-            # d bias[e,c'] = sum_{v,w} sel[e,v,w] dz[c',v,w] = sum_v dP1
-            deb_ref[...] += (jnp.sum(dP1, axis=-1).reshape(edge_num * Cm)
-                             * last).astype(deb_ref.dtype)
+        dz = (dGj * alpha_j) * (1.0 - ctr_j * ctr_j)            # (Cm, V, W)
+        if has_edge and j == j_edge:
+            @pl.when(g_id == g_edge)
+            def _dq_edge():
+                # through ea = sum_e sel*(P1 - P2) + bias_field; static
+                # per-class loop keeps temps at (Cm, V, W)
+                dp1_rows, dp2_rows = [], []
+                for e in range(edge_num):
+                    m = sel[e][None]                            # (1, V, W)
+                    dp1_rows.append(jnp.sum(dz * m, axis=2))    # (Cm, V)
+                    dp2_rows.append(-jnp.sum(dz * m, axis=1))   # (Cm, W)
+                dP1f = jnp.concatenate(dp1_rows, axis=0)        # (E*Cm, V)
+                dP2f = jnp.concatenate(dp2_rows, axis=0)
+                dq_scr[0] = jax.lax.dot_general(
+                    ew, dP1f, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (Cm, V)
+                dq_scr[1] = jax.lax.dot_general(
+                    ew, dP2f, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # d ew[c,ec'] = sum_v x1[c,v] dP1[ec',v] + sum_w x2[c,w] dP2[ec',w]
+                dew = jax.lax.dot_general(
+                    x1[j], dP1f, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) \
+                    + jax.lax.dot_general(
+                    x2[j], dP2f, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (Cm, E*Cm)
+                dew_ref[...] += (dew * last).astype(dew_ref.dtype)
+                # d bias[e,c'] = sum_{v,w} sel[e,v,w] dz[c',v,w] = sum_v dP1
+                # (row-sum of the 2-D dP1f: Mosaic can't concatenate small
+                # 1-D vectors across tile boundaries)
+                deb = jnp.sum(dP1f, axis=-1)                    # (E*Cm,)
+                deb_ref[...] += (deb * last).astype(deb_ref.dtype)
+
+            @pl.when(g_id != g_edge)
+            def _dq_plain():
+                dq_scr[0] = jnp.sum(dz, axis=-1)
+                dq_scr[1] = -jnp.sum(dz, axis=-2)
+            dx1_j = dq_scr[0]
+            dx2_j = dq_scr[1]
         else:
-            dx1_k = jnp.sum(dz, axis=-1)                        # (Cm, V)
-            dx2_k = -jnp.sum(dz, axis=-2)                       # (Cm, W)
+            dx1_j = jnp.sum(dz, axis=-1)                        # (Cm, V)
+            dx2_j = -jnp.sum(dz, axis=-2)                       # (Cm, W)
         # ada path: softmax over the source (v) axis
-        ds = beta_k * sC                                        # (V, W)
-        inner = jnp.sum(ds * ada_k, axis=0, keepdims=True)      # (1, W)
-        draw = ada_k * (ds - inner)                             # (V, W)
-        dx1_k = dx1_k + jax.lax.dot_general(
-            x2[k], draw, dimension_numbers=(((1,), (1,)), ((), ())),
+        ds = beta_j * sC                                        # (V, W)
+        inner = jnp.sum(ds * ada_j, axis=0, keepdims=True)      # (1, W)
+        draw = ada_j * (ds - inner)                             # (V, W)
+        dx1_j = dx1_j + jax.lax.dot_general(
+            x2[j], draw, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                 # (Cm, V)
-        dx2_k = dx2_k + jax.lax.dot_general(
-            x1[k], draw, dimension_numbers=(((1,), (0,)), ((), ())),
+        dx2_j = dx2_j + jax.lax.dot_general(
+            x1[j], draw, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                 # (Cm, W)
         # final-tile write wins; earlier tiles hold partial-dG values the
         # last revision overwrites before the block moves to the next n
-        dx1_ref[0, k] = dx1_k.astype(dx1_ref.dtype)
-        dx2_ref[0, k] = dx2_k.astype(dx2_ref.dtype)
-        dA_ref[k] += (sC * last).astype(dA_ref.dtype)
+        dx1_ref[0, j] = dx1_j.astype(dx1_ref.dtype)
+        dx2_ref[0, j] = dx2_j.astype(dx2_ref.dtype)
+        dA_ref[j] += (sC * last).astype(dA_ref.dtype)
 
-    dgates_ref[...] += (jnp.stack([jnp.stack(dal), jnp.stack(dbe)])
-                        * last).astype(dgates_ref.dtype)
     dpre_ref[0] = jnp.concatenate(dpre_parts, axis=-1).astype(dpre_ref.dtype)
 
 
 def _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, dy,
                 *, K, Cm, edge_k, edge_num, interpret=False):
     N, T, V, KC = pre_x.shape
-    gates = jnp.stack([alpha, beta])
-    tt = _t_tile(T, V, KC, pre_x.dtype.itemsize, budget=9 * 2 ** 20,
-                 blocks=11)
-    nt = T // tt
+    # graph-build operands in f32 (see _fwd_pallas)
+    f32 = jnp.float32
+    x1, x2, A = x1.astype(f32), x2.astype(f32), A.astype(f32)
+    gates = jnp.stack([alpha.astype(f32), beta.astype(f32)])
     has_edge = edge_w is not None
-    tile4 = lambda: pl.BlockSpec((1, tt, V, KC),                  # noqa: E731
-                                 lambda n, t: (n, t, 0, 0),
+    kg, tt = _bwd_plan(T, V, K, Cm, has_edge, edge_num)
+    nt = T // tt
+    ng = K // kg
+    tile4 = lambda: pl.BlockSpec((1, tt, V, kg * Cm),             # noqa: E731
+                                 lambda g, n, t: (n, t, 0, g),
                                  memory_space=pltpu.VMEM)
-    qk = lambda: pl.BlockSpec((1, K, Cm, V),                      # noqa: E731
-                              lambda n, t: (n, 0, 0, 0),
+    qk = lambda: pl.BlockSpec((1, kg, Cm, V),                     # noqa: E731
+                              lambda g, n, t: (n, g, 0, 0),
                               memory_space=pltpu.VMEM)
     in_specs = [tile4(), tile4(), qk(), qk(),
-                pl.BlockSpec((K, V, V), lambda n, t: (0, 0, 0),
+                pl.BlockSpec((kg, V, V), lambda g, n, t: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, K), lambda n, t: (0, 0),
+                pl.BlockSpec((2, K), lambda g, n, t: (0, 0),
                              memory_space=pltpu.SMEM)]
     args = [pre_x, dy, x1, x2, A, gates]
     if has_edge:
         especs, eargs = _edge_specs_args(edge_w, edge_b, edge_sel, edge_num,
-                                         Cm, pre_x.dtype)
+                                         Cm)
         in_specs += especs
         args += eargs
 
@@ -341,27 +467,31 @@ def _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, dy,
                   jax.ShapeDtypeStruct((K, V, V), f32),              # dA
                   jax.ShapeDtypeStruct((2, K), f32)]                 # dgates
     out_specs = [tile4(), qk(), qk(),
-                 pl.BlockSpec((K, V, V), lambda n, t: (0, 0, 0),
+                 pl.BlockSpec((kg, V, V), lambda g, n, t: (g, 0, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((2, K), lambda n, t: (0, 0),
+                 pl.BlockSpec((2, K), lambda g, n, t: (0, 0),
                               memory_space=pltpu.VMEM)]
     if has_edge:
         out_shapes += [jax.ShapeDtypeStruct(edge_w.shape, f32),      # dew
                        jax.ShapeDtypeStruct((edge_num * Cm,), f32)]  # deb
-        out_specs += [pl.BlockSpec(edge_w.shape, lambda n, t: (0, 0),
+        out_specs += [pl.BlockSpec(edge_w.shape, lambda g, n, t: (0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((edge_num * Cm,), lambda n, t: (0,),
+                      pl.BlockSpec((edge_num * Cm,), lambda g, n, t: (0,),
                                    memory_space=pltpu.VMEM)]
 
-    kernel = functools.partial(_bwd_kernel, K=K, Cm=Cm, edge_k=edge_k,
+    scratch = [pltpu.VMEM((kg * Cm, V, V), jnp.float32)]             # dG
+    if has_edge:
+        scratch += [pltpu.VMEM((Cm, V, V), jnp.float32),             # ctr
+                    pltpu.VMEM((2, Cm, V), jnp.float32)]             # dq
+    kernel = functools.partial(_bwd_kernel, K=K, kg=kg, Cm=Cm, edge_k=edge_k,
                                edge_num=edge_num, nt=nt, has_edge=has_edge)
     outs = pl.pallas_call(
         kernel,
-        grid=(N, nt),
+        grid=(ng, N, nt),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((KC, V, V), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return outs

@@ -87,6 +87,66 @@ def test_fused_edge_grads():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_bf16_inputs():
+    """bf16 compute path: the big pre tensor stays bf16; graph operands are
+    lifted to f32 on the host (Mosaic can't broadcast minor dims on 16-bit
+    vectors) and the contraction accumulates f32."""
+    K, Cm = 3, 8
+    pre, x1, x2, A, alpha, beta, ew, eb, sel = _inputs(edge=True)
+    cast = lambda a: a.astype(jnp.bfloat16)                    # noqa: E731
+    args = (cast(pre), cast(x1), cast(x2), cast(A), cast(alpha), cast(beta),
+            cast(ew), cast(eb), sel)
+    got = fused_dyn_graph_agg(*args, K, Cm, 1, 15, True)
+    assert got.dtype == jnp.bfloat16
+    want = reference_dyn_graph_agg(pre, x1, x2, A, alpha, beta, ew, eb, sel,
+                                   K=K, Cm=Cm, edge_k=1)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+
+    def loss(p, q1, q2):
+        return jnp.sum(fused_dyn_graph_agg(p, q1, q2, *args[3:],
+                                           K, Cm, 1, 15, True) ** 2)
+    g = jax.grad(loss, argnums=(0, 1, 2))(*args[:3])
+    gr = jax.grad(lambda p, q1, q2: jnp.sum(reference_dyn_graph_agg(
+        p, q1, q2, A, alpha, beta, ew, eb, sel, K=K, Cm=Cm, edge_k=1) ** 2),
+        argnums=(0, 1, 2))(pre, x1, x2)
+    for a, b in zip(g, gr):
+        b = np.asarray(b)
+        np.testing.assert_allclose(np.asarray(a, np.float32), b,
+                                   rtol=0.1, atol=0.05 * np.abs(b).max())
+
+
+@pytest.mark.parametrize("edge", [False, True])
+@pytest.mark.parametrize("kg", [1, 2])
+def test_bwd_grouped_subsets(edge, kg, monkeypatch):
+    """Force the grouped-subset backward grid (kg < K, ng > 1): exercises the
+    per-group dA/dgates accumulators, the T-tile scratch under grouping, and
+    the edge-attention subset landing in a non-zero group (edge_k=3 with
+    kg∈{1,2} puts g_edge at 3 or 1, j_edge at 0 or 1)."""
+    import dsgcn_tpu.ops.pallas.dyn_graph as dg
+    monkeypatch.setattr(dg, "_bwd_plan",
+                        lambda T, V, K, Cm, he, *a, **k: (kg, T // 2))
+    K, Cm, edge_k = 4, 8, 3
+    args = _inputs(T=12, K=K, edge=edge)
+    argn = tuple(range(8 if edge else 6))
+
+    def loss(*a):
+        full = list(a) + list(args[len(a):])
+        y = dg.fused_dyn_graph_agg(*full, K, Cm, edge_k, 15, True)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(*a):
+        full = list(a) + list(args[len(a):])
+        y = reference_dyn_graph_agg(*full, K=K, Cm=Cm, edge_k=edge_k)
+        return jnp.sum(y ** 2)
+
+    ga = jax.grad(loss, argnums=argn)(*args[:len(argn)])
+    gb = jax.grad(loss_ref, argnums=argn)(*args[:len(argn)])
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("edge", [False, True])
 def test_fused_multi_tile_grid(edge, monkeypatch):
     """Force nt>1 T-tiling: exercises the fwd tile loop and the bwd dG
