@@ -19,6 +19,13 @@ HBM in either direction:
   then chained in-kernel through tanh/softmax/edge-projection to
   (dpre, dx1, dx2, dA, dalpha, dbeta[, dedge_w, dedge_b]).
 
+Measured regime (v5e, N=2048 stage shapes): after hoisting the layout
+rotations to once per tile the kernel is DMA-throughput-bound at ~270 GB/s —
+the (V=25 -> 32)-sublane-padded strided block DMA, not per-step overhead
+(multi-sample blocks under a raised vmem_limit_bytes leave total time flat:
+38.6/38.9/37.9/41.6 ms for 1/2/4/8 samples per step).  Further wins come
+from fewer bytes (bf16 blocks) or cross-op fusion, not bigger blocks.
+
 Optionally applies the DS-GCN per-edge-class attention (reference
 gcn.py:2277-2288) on one subset: the diff field is expanded to 15 edge
 classes by a 1x1 conv and gathered with the static (V, V) class matrix,
@@ -94,18 +101,23 @@ def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
     # the host: Mosaic can't insert minor dims on 16-bit vectors) and the
     # contraction runs with a bf16 graph at the full MXU bf16 rate,
     # accumulating f32 — the pre/out HBM tensors stay bf16.
+    #
+    # Layout rotations happen ONCE per tile, not per subset: eight 16-lane
+    # slice transposes cost 2.4x the whole kernel vs one full-width rotation
+    # each way (measured at stage0 on v5e: 92ms -> 39ms for N=2048, bit-
+    # exact).  Per-subset slices of pre_t are then leading-dim (free).
+    pre_t = jnp.transpose(pre, (2, 0, 1))              # (K*Cm, Tt, V)
     parts = []
     for k in range(K):
         G_k, _, _ = _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel,
                              Cm=Cm, edge_k=edge_k, edge_num=edge_num)
-        pre_k = jnp.transpose(pre[:, :, k * Cm:(k + 1) * Cm],
-                              (2, 0, 1))               # (Cm, Tt, V)
         y_k = jax.lax.dot_general(
-            pre_k, G_k.astype(pre.dtype),
+            pre_t[k * Cm:(k + 1) * Cm], G_k.astype(pre.dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # (Cm, Tt, W)
-        parts.append(jnp.transpose(y_k, (1, 2, 0)))    # (Tt, W, Cm)
-    out_ref[0] = jnp.concatenate(parts, axis=-1).astype(out_ref.dtype)
+        parts.append(y_k)
+    y = jnp.concatenate(parts, axis=0)                 # (K*Cm, Tt, W)
+    out_ref[0] = jnp.transpose(y, (1, 2, 0)).astype(out_ref.dtype)
 
 
 def _pad8(x: int) -> int:
@@ -143,17 +155,22 @@ def _bwd_plan(T: int, V: int, K: int, Cm: int, has_edge: bool,
     graph = Cm * Vp * Wp * 4                      # one f32 (Cm, V, V) temp
     per_subset = 6 * graph                        # live per-j temps (G, ctr,
     #                                               dz, dG_part, scratch reads)
-    edge = (4 * edge_num * _pad8(Cm) * Wp * 4 + 2 * graph) if has_edge else 0
-    for kg in sorted((d for d in range(1, K + 1) if K % d == 0), reverse=True):
-        # the (tt, V, kg*Cm) channel block must keep a lowerable trailing
-        # dim: 128-aligned or the full K*Cm
-        if kg != K and (kg * Cm) % 128 != 0:
-            continue
-        scratch = kg * graph                      # dG accumulator
-        for tt in sorted((d for d in range(1, T + 1) if T % d == 0),
+    # edge path holds several (E, Cm, V) projections/grads plus the per-class
+    # accumulation temps (measured on v5e: 4x under-counting OOMs by ~2 MB)
+    edge = (12 * edge_num * _pad8(Cm) * Wp * 4 + 4 * graph) if has_edge else 0
+    # tt-major: a large T-tile amortizes the per-tile graph rebuild (the
+    # graphs are T-invariant), which costs more than extra subset groups
+    for tt in sorted((d for d in range(1, T + 1) if T % d == 0),
+                     reverse=True):
+        for kg in sorted((d for d in range(1, K + 1) if K % d == 0),
                          reverse=True):
+            # the (tt, V, kg*Cm) channel block must keep a lowerable
+            # trailing dim: 128-aligned or the full K*Cm
+            if kg != K and (kg * Cm) % 128 != 0:
+                continue
+            scratch = kg * graph                  # dG accumulator
             # ~14 tile-sized live copies measured on v5e: 2x double-buffered
-            # pre/dy/dpre blocks, the per-j (Cm, Tt, V) transposes, the
+            # pre/dy/dpre blocks, the whole-tile layout rotations, the
             # dpre_parts list + final concat
             tiles = 14 * tt * Vp * _pad128(kg * Cm) * 4
             if scratch + per_subset + edge + tiles <= budget:
@@ -281,9 +298,12 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
     n_id = pl.program_id(1)
     t_id = pl.program_id(2)
     V = pre_ref.shape[2]
-    # bf16 mode: grads accumulate in f32, so lift the tiles once on load
-    pre = pre_ref[0].astype(jnp.float32)               # (Tt, V, kg*Cm)
-    dy = dy_ref[0].astype(jnp.float32)
+    # bf16 mode: grads accumulate in f32, so lift the tiles once on load;
+    # layout rotations once per tile (see the forward kernel note): the
+    # per-subset channel slices of the rotated tiles are leading-dim (free)
+    pre_t = jnp.transpose(pre_ref[0], (2, 0, 1)).astype(jnp.float32)
+    dy_t = jnp.transpose(dy_ref[0], (2, 0, 1))         # (kg*Cm, Tt, W)
+    dy_t = dy_t.astype(jnp.float32)
     x1 = x1_ref[0]                                     # (kg, Cm, V) f32
     x2 = x2_ref[0]
     A = A_ref[...]                                     # (kg, V, V)
@@ -345,14 +365,14 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
         G_j = ctr_j * alpha_j + (ada_j * beta_j + A[j])[None]
 
         cs = slice(j * Cm, (j + 1) * Cm)
-        dy_j = jnp.transpose(dy[:, :, cs], (2, 0, 1))           # (Cm, Tt, W)
-        pre_j = jnp.transpose(pre[:, :, cs], (2, 0, 1))         # (Cm, Tt, V)
+        dy_j = dy_t[cs]                                         # (Cm, Tt, W)
+        pre_j = pre_t[cs]                                       # (Cm, Tt, V)
 
         # dpre (this tile): sum_w dy[c,t,w] G_j[c,v,w] -> (Cm, Tt, V)
         dpre_j = jax.lax.dot_general(
             dy_j, G_j, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        dpre_parts.append(jnp.transpose(dpre_j, (1, 2, 0)))     # (Tt, V, Cm)
+        dpre_parts.append(dpre_j)
 
         # dG partial for this tile: sum_t pre[c,t,v] dy[c,t,w] -> (Cm, V, W)
         dG_part = jax.lax.dot_general(
@@ -428,7 +448,8 @@ def _bwd_kernel(pre_ref, dy_ref, x1_ref, x2_ref, A_ref, gates_ref,
         dx2_ref[0, j] = dx2_j.astype(dx2_ref.dtype)
         dA_ref[j] += (sC * last).astype(dA_ref.dtype)
 
-    dpre_ref[0] = jnp.concatenate(dpre_parts, axis=-1).astype(dpre_ref.dtype)
+    dpre = jnp.concatenate(dpre_parts, axis=0)         # (kg*Cm, Tt, V)
+    dpre_ref[0] = jnp.transpose(dpre, (1, 2, 0)).astype(dpre_ref.dtype)
 
 
 def _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, dy,
