@@ -88,12 +88,17 @@ def build_backbone(cfg: Dict[str, Any]):
     gc = cfg.pop("graph_cfg")
     if not isinstance(gc, GraphConfig):
         gc = GraphConfig(**gc)
-    if typ == "DGSTGCN" and "gcn_use_pallas" not in cfg:
+    if typ == "DGSTGCN":
         # The fused VMEM dynamic-graph kernel is 4-10x faster than the XLA
         # lowering on TPU (measured per stage at batch 2048 on v5e) and
         # numerically parity-tested; default it on where Pallas can run.
+        # The fused eval-mode dgmstcn kernel (ops/pallas/ms_tcn.py) targets
+        # the other hot region (XLA HBM-bound at ~60% roofline, 6.5x extra
+        # traffic from per-branch round-trips); it stays opt-in
+        # (tcn_use_pallas=True) until its on-chip win is measured.
         import jax
-        cfg["gcn_use_pallas"] = jax.default_backend() == "tpu"
+        if "gcn_use_pallas" not in cfg:
+            cfg["gcn_use_pallas"] = jax.default_backend() == "tpu"
     fields = {k: v for k, v in cfg.items() if k in _BACKBONE_FIELDS}
     for k in ("inflate_stages", "down_stages", "semantic_stage"):
         if k in fields:
@@ -186,6 +191,7 @@ def model_cfg(name: str, num_classes: int = 60, layout: str = "nturgb+d",
         raise ValueError(f"unknown model {name!r}")
     if use_pallas is not None and bb["type"] == "DGSTGCN":
         bb["gcn_use_pallas"] = use_pallas   # None -> backend default (build_backbone)
+        bb["tcn_use_pallas"] = use_pallas
     return dict(type="RecognizerGCN", backbone=bb, cls_head=head)
 
 
