@@ -4,6 +4,11 @@ examples/inference_speed.ipynb (batch 16, M=2 persons, T=100, V=25, fp32).
 Prints a markdown table with the reference's published GPU numbers
 (BASELINE.md) alongside ours for direct comparison, plus saturated-batch
 throughput per model.
+
+Timing protocol (same as bench.py): every benched program returns a device
+scalar whose host fetch forces execution — on the remote-tunnel platform
+``jax.block_until_ready`` returns before the computation finishes, so the
+round-1 version of this table measured dispatch rate, not compute.
 """
 import sys
 import time
@@ -18,20 +23,22 @@ REFERENCE_FPS_2080TI = {  # BASELINE.md / examples/inference_speed.ipynb
 }
 
 
-def _bench(fn, args, iters=30, warmup=3):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _bench(fn, args, iters=8, reps=3):
+    s = float(fn(*args))   # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        s = float(out)  # noqa: F841  (forces the whole queued chain)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from dsgcn_tpu.models.builder import build_named_model
 
@@ -46,8 +53,10 @@ def main():
         t = 30 if name == "sgn" else 100
         xa = x16[:, :, :t] if t != 100 else x16
         model = build_named_model(name, num_classes=60)
-        variables = model.init(jax.random.PRNGKey(0), xa[:2], train=False)
-        fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False))
+        variables = jax.jit(
+            lambda k, x_: model.init(k, x_, train=False))(
+            jax.random.PRNGKey(0), xa[:2])
+        fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False).sum())
         fps16 = 16 / _bench(fwd, (variables, xa))
         sb = sat[name]
         xb = jnp.asarray(rng.standard_normal(
