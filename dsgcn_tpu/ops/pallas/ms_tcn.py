@@ -53,13 +53,16 @@ def _conv_out_len(T: int, stride: int) -> int:
 
 def _kernel(x_ref, wp_ref, bp_ref, ws_ref, wmax_ref, w11_ref, ball_ref,
             atr_ref, btr_ref, wtc_ref, btc_ref, aout_ref, bout_ref,
-            coeff_ref, out_ref, *, shifts, pad, stride, V):
+            coeff_ref, out_ref, *, shifts, pad, stride, V, global_joint):
     f32 = jnp.float32
     x = x_ref[0].astype(f32)                          # (T, V, C)
     T = x.shape[0]
     Tp = _conv_out_len(T, stride)
-    mean = jnp.mean(x, axis=1, keepdims=True)         # (T, 1, C)
-    xg = jnp.concatenate([x, mean], axis=1)           # (T, V+1, C)
+    if global_joint:                                  # dgmstcn: V-mean joint
+        mean = jnp.mean(x, axis=1, keepdims=True)     # (T, 1, C)
+        xg = jnp.concatenate([x, mean], axis=1)       # (T, V+1, C)
+    else:                                             # mstcn: plain branches
+        xg = x
 
     # fused pre-1x1 of branches 0-4 (BN folded host-side) + ReLU
     pre = jax.lax.dot_general(xg, wp_ref[...],
@@ -97,8 +100,12 @@ def _kernel(x_ref, wp_ref, bp_ref, ws_ref, wmax_ref, w11_ref, ball_ref,
         xs, w11_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=f32)                   # (Tp, V+1, C')
 
-    # global joint broadcast-add, per-joint coefficient
-    feat = out[:, :V, :] + out[:, V:V + 1, :] * coeff_ref[...][None, :, None]
+    if global_joint:
+        # global joint broadcast-add, per-joint coefficient
+        feat = (out[:, :V, :]
+                + out[:, V:V + 1, :] * coeff_ref[...][None, :, None])
+    else:
+        feat = out
     feat = jnp.maximum(feat * atr_ref[...] + btr_ref[...], 0.0)
     feat = jax.lax.dot_general(feat, wtc_ref[...],
                                dimension_numbers=(((2,), (0,)), ((), ())),
@@ -150,11 +157,17 @@ def fused_dgmstcn_eval(x, w_pre, b_pre, shifts, ws, wmax, w11e, bias_all,
                        a_tr, b_tr, w_tc, b_tc, a_out, b_out, coeff, *,
                        pad, stride=1, interpret=False):
     """x: (N, T, V, C) -> (N, ceil(T/stride), V, C').  See module docstring;
-    (shifts, ws, wmax, w11e, bias_all, pad) come from ``pack_branches``."""
+    (shifts, ws, wmax, w11e, bias_all, pad) come from ``pack_branches``.
+    ``coeff=None`` selects the plain-MSTCN form (reference mstcn,
+    tcn.py:104-180): no joint-mean pseudo-joint, no global broadcast-add —
+    everything else is structurally identical."""
     N, T, V, C = x.shape
     Cp = w_tc.shape[-1]
     Tp = _conv_out_len(T, stride)
     f32 = jnp.float32
+    global_joint = coeff is not None
+    if coeff is None:
+        coeff = jnp.zeros((V,), f32)
     consts = [w_pre, b_pre, ws, wmax, w11e, bias_all, a_tr, b_tr, w_tc,
               b_tc, a_out, b_out, coeff]
     consts = [jnp.asarray(c, f32) for c in consts]
@@ -163,7 +176,7 @@ def fused_dgmstcn_eval(x, w_pre, b_pre, shifts, ws, wmax, w11e, bias_all,
     in_specs += [pl.BlockSpec(c.shape, lambda n, nd=c.ndim: (0,) * nd,
                               memory_space=pltpu.VMEM) for c in consts]
     kernel = functools.partial(_kernel, shifts=tuple(shifts), pad=pad,
-                               stride=stride, V=V)
+                               stride=stride, V=V, global_joint=global_joint)
     return pl.pallas_call(
         kernel,
         grid=(N,),

@@ -180,9 +180,16 @@ class MSTCN(nn.Module):
     ms_cfg: Tuple[MsCfgEntry, ...] = DEFAULT_MS_CFG
     stride: int = 1
     branch_kind: str = "tcn"
+    use_pallas: bool = False    # fused eval kernel (ops/pallas/ms_tcn.py)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
+        if (self.use_pallas and not train and not self.is_initializing()
+                and self.branch_kind == "tcn" and self.mid_channels is None
+                and self.ms_cfg == DEFAULT_MS_CFG):
+            # same fused region as dgmstcn minus the global joint
+            return _fused_ms_eval(self, x, None)
         feat = _MSBranches(self.out_channels, self.mid_channels, self.ms_cfg,
                            self.stride, self.branch_kind,
                            name="branches")(x, train=train)
@@ -260,7 +267,7 @@ class DGMSTCN(nn.Module):
             # eval-only fusion: the five BatchNorms fold into affines from
             # running stats; params are read from the tree the XLA path
             # created at init (identical tree in both modes)
-            return self._fused_eval(x, add_coeff[:v])
+            return _fused_ms_eval(self, x, add_coeff[:v])
         if self.graph_axis is None:
             mean_joint = x.mean(axis=2, keepdims=True)
             coeff = add_coeff[:v]
@@ -296,67 +303,68 @@ class DGMSTCN(nn.Module):
             feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
         return feat
 
-    def _fused_eval(self, x: Array, coeff: Array) -> Array:
-        """Whole-region Pallas fusion (x read once, output written once).
+def _fused_ms_eval(mod, x: Array, coeff: Optional[Array]) -> Array:
+    """Whole-region Pallas fusion for MSTCN/DGMSTCN eval (x read once,
+    output written once).
 
-        Reads the params/batch_stats the XLA path laid down (same tree in
-        both modes; eval never mutates), folds each BatchNorm into a
-        per-channel affine, and folds the branch BNs into the fused
-        pre-1x1 weights."""
-        from .pallas.ms_tcn import fold_bn, fused_dgmstcn_eval, pack_branches
+    Reads the params/batch_stats the XLA path laid down (same tree in both
+    modes; eval never mutates), folds each BatchNorm into a per-channel
+    affine, and folds the branch BNs into the fused pre-1x1 weights.
+    ``coeff=None`` -> plain MSTCN (no global joint)."""
+    from .pallas.ms_tcn import fold_bn, fused_dgmstcn_eval, pack_branches
 
-        br = self.scope.push("branches", reuse=True)
+    br = mod.scope.push("branches", reuse=True)
 
-        def bn_fold(scope, name):
-            s = scope.push(name, reuse=True).push("bn", reuse=True)
-            return fold_bn(s.get_variable("params", "scale"),
-                           s.get_variable("params", "bias"),
-                           s.get_variable("batch_stats", "mean"),
-                           s.get_variable("batch_stats", "var"))
+    def bn_fold(scope, name):
+        s = scope.push(name, reuse=True).push("bn", reuse=True)
+        return fold_bn(s.get_variable("params", "scale"),
+                       s.get_variable("params", "bias"),
+                       s.get_variable("batch_stats", "mean"),
+                       s.get_variable("batch_stats", "var"))
 
-        wp_cols, bp_cols, taps_w, taps_b = [], [], [], []
-        dilations, in_slots, out_slots = [], [], []
-        in_off = out_off = 0
-        max_slot = None
-        for i, cfg in enumerate(self.ms_cfg):
-            if cfg == "1x1":
-                s = br.push(f"branch{i}_conv", reuse=True).push("conv",
-                                                                reuse=True)
-                w11 = s.get_variable("params", "kernel")[0, 0]   # (C, mid)
-                b11 = s.get_variable("params", "bias")
-                out_off += b11.shape[0]
-                continue
-            sp = br.push(f"branch{i}_pre", reuse=True)
-            a, b = bn_fold(br, f"branch{i}_bn")
-            wp_cols.append(sp.get_variable("params", "kernel") * a[None])
-            bp_cols.append(sp.get_variable("params", "bias") * a + b)
-            kind, _val = cfg
-            cb = a.shape[0]
-            if kind == "max":
-                max_slot = (in_off, cb, out_off)
-            else:
-                s = br.push(f"branch{i}_tcn", reuse=True) \
-                      .push("conv", reuse=True).push("conv", reuse=True)
-                taps_w.append(s.get_variable("params", "kernel")[:, 0])
-                taps_b.append(s.get_variable("params", "bias"))
-                dilations.append(_val)
-                in_slots.append(in_off)
-                out_slots.append(out_off)
-            in_off += cb
-            out_off += cb
-        a_tr, b_tr = bn_fold(self.scope, "transform_bn")
-        stc = self.scope.push("transform_conv", reuse=True)
-        w_tc = stc.get_variable("params", "kernel")
-        b_tc = stc.get_variable("params", "bias")
-        a_out, b_out = bn_fold(self.scope, "bn")
-        shifts, ws, wmax, w11e, bias_all, pad = pack_branches(
-            taps_w, taps_b, max_slot, w11, b11, tuple(dilations),
-            tuple(in_slots), tuple(out_slots), in_off, self.out_channels)
-        return fused_dgmstcn_eval(
-            x, jnp.concatenate(wp_cols, axis=1), jnp.concatenate(bp_cols),
-            shifts, ws, wmax, w11e, bias_all,
-            a_tr, b_tr, w_tc, b_tc, a_out, b_out, coeff,
-            pad=pad, stride=self.stride, interpret=self.pallas_interpret)
+    wp_cols, bp_cols, taps_w, taps_b = [], [], [], []
+    dilations, in_slots, out_slots = [], [], []
+    in_off = out_off = 0
+    max_slot = None
+    for i, cfg in enumerate(mod.ms_cfg):
+        if cfg == "1x1":
+            s = br.push(f"branch{i}_conv", reuse=True).push("conv",
+                                                            reuse=True)
+            w11 = s.get_variable("params", "kernel")[0, 0]   # (C, mid)
+            b11 = s.get_variable("params", "bias")
+            out_off += b11.shape[0]
+            continue
+        sp = br.push(f"branch{i}_pre", reuse=True)
+        a, b = bn_fold(br, f"branch{i}_bn")
+        wp_cols.append(sp.get_variable("params", "kernel") * a[None])
+        bp_cols.append(sp.get_variable("params", "bias") * a + b)
+        kind, _val = cfg
+        cb = a.shape[0]
+        if kind == "max":
+            max_slot = (in_off, cb, out_off)
+        else:
+            s = br.push(f"branch{i}_tcn", reuse=True) \
+                  .push("conv", reuse=True).push("conv", reuse=True)
+            taps_w.append(s.get_variable("params", "kernel")[:, 0])
+            taps_b.append(s.get_variable("params", "bias"))
+            dilations.append(_val)
+            in_slots.append(in_off)
+            out_slots.append(out_off)
+        in_off += cb
+        out_off += cb
+    a_tr, b_tr = bn_fold(mod.scope, "transform_bn")
+    stc = mod.scope.push("transform_conv", reuse=True)
+    w_tc = stc.get_variable("params", "kernel")
+    b_tc = stc.get_variable("params", "bias")
+    a_out, b_out = bn_fold(mod.scope, "bn")
+    shifts, ws, wmax, w11e, bias_all, pad = pack_branches(
+        taps_w, taps_b, max_slot, w11, b11, tuple(dilations),
+        tuple(in_slots), tuple(out_slots), in_off, mod.out_channels)
+    return fused_dgmstcn_eval(
+        x, jnp.concatenate(wp_cols, axis=1), jnp.concatenate(bp_cols),
+        shifts, ws, wmax, w11e, bias_all,
+        a_tr, b_tr, w_tc, b_tc, a_out, b_out, coeff,
+        pad=pad, stride=mod.stride, interpret=mod.pallas_interpret)
 
 
 class CTRMSTCN(nn.Module):

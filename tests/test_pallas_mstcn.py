@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dsgcn_tpu.ops.tcn import DGMSTCN
+from dsgcn_tpu.ops.tcn import DGMSTCN, MSTCN
 
 RNG = np.random.default_rng(7)
 
@@ -38,6 +38,23 @@ def test_fused_dgmstcn_matches_module(stride, channels, T):
     scale = float(jnp.max(jnp.abs(ya))) + 1e-9
     err = float(jnp.max(jnp.abs(ya - yb))) / scale
     assert err < 2e-6, err          # fused path computes in f32 throughout
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_fused_mstcn_matches_module(stride):
+    """Plain MSTCN (stgcn++ family): same fused region minus the global
+    joint (coeff=None path)."""
+    x = jnp.asarray(RNG.standard_normal((3, 18, 25, 96)).astype(np.float32))
+    a = MSTCN(out_channels=96, stride=stride)
+    b = MSTCN(out_channels=96, stride=stride, use_pallas=True,
+              pallas_interpret=True)
+    v = _vars(a, x)
+    ya = a.apply(v, x, train=False)
+    yb = b.apply(v, x, train=False)
+    assert ya.shape == yb.shape
+    scale = float(jnp.max(jnp.abs(ya))) + 1e-9
+    err = float(jnp.max(jnp.abs(ya - yb))) / scale
+    assert err < 2e-6, err
 
 
 def test_fused_dgmstcn_train_falls_back():
