@@ -527,6 +527,17 @@ class DGGCN(nn.Module):
         ratio = self.ratio if self.ratio is not None else 1.0 / K
         mid = int(ratio * self.out_channels)
 
+        if (self.use_pallas and not train and not self.is_initializing()
+                and self.graph_axis is None and self.ctr == "T"
+                and self.ada == "T" and self.ctr_act == "tanh"
+                and self.ada_act == "softmax"):
+            from .pallas.dggcn_block import fits_vmem
+            if fits_vmem(t, v, c, mid * K, self.out_channels, mid):
+                # eval: whole block (pre/BN/ReLU -> graph -> post/BN/ReLU
+                # + res) in one kernel; params read from the tree the
+                # unfused path lays down at init
+                return self._fused_block_eval(x, K, mid)
+
         if c != self.out_channels:
             r = PointConv(self.out_channels, name="down_conv")(x)
             res = BatchNorm(name="down_bn", axis_name=self.graph_axis)(
@@ -606,6 +617,54 @@ class DGGCN(nn.Module):
         y = PointConv(self.out_channels, name="post_conv")(y)
         y = BatchNorm(name="bn")(y, use_running_average=not train)
         return jax.nn.relu(y + res)
+
+    def _fused_block_eval(self, x: Array, K: int, mid: int) -> Array:
+        """Whole-block eval fusion (ops/pallas/dggcn_block.py): reads the
+        params/batch_stats the unfused path lays down at init (identical
+        tree in both modes; eval never mutates), folds every BatchNorm into
+        its preceding conv."""
+        from .pallas.dggcn_block import fused_dggcn_block_eval
+        from .pallas.ms_tcn import fold_bn
+
+        n, t, v, c = x.shape
+        sc = self.scope
+
+        def conv(name):
+            s = sc.push(name, reuse=True)
+            return (s.get_variable("params", "kernel"),
+                    s.get_variable("params", "bias"))
+
+        def bn(name):
+            s = sc.push(name, reuse=True).push("bn", reuse=True)
+            return fold_bn(s.get_variable("params", "scale"),
+                           s.get_variable("params", "bias"),
+                           s.get_variable("batch_stats", "mean"),
+                           s.get_variable("batch_stats", "var"))
+
+        A_param = self.param("A",
+                             lambda k: jnp.asarray(self.A_init, jnp.float32))
+        alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (K,))
+        a, b = bn("pre_bn")
+        w_pre, b_pre = conv("pre_conv")
+        w_pre, b_pre = w_pre * a[None], b_pre * a + b
+        w1, b1 = conv("conv1")
+        w2, b2 = conv("conv2")
+        a, b = bn("bn")
+        w_post, b_post = conv("post_conv")
+        w_post, b_post = w_post * a[None], b_post * a + b
+        if c != self.out_channels:
+            a, b = bn("down_bn")
+            w_down, b_down = conv("down_conv")
+            w_down, b_down = w_down * a[None], b_down * a + b
+        else:
+            w_down = b_down = None
+        return fused_dggcn_block_eval(
+            x, w_pre, b_pre, w1, b1, w2, b2, A_param,
+            _gate_vec(alpha, K, 0, K, self.subset_wise),
+            _gate_vec(beta, K, 0, K, self.subset_wise),
+            w_post, b_post, w_down, b_down, K=K, Cm=mid,
+            interpret=self.pallas_interpret)
 
     def _jp_aggregate(self, x, pre_x, A_param, alpha, beta, K, mid, train):
         """Joint-partitioned dynamic-graph build + ring aggregation.

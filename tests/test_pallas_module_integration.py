@@ -100,3 +100,29 @@ def test_dgphgcn1_pallas_grads_match():
         np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
                                    rtol=1e-3, atol=5e-3,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_dggcn_fused_block_eval_with_bn_stats():
+    """Eval-mode mega-fused DGGCN block (ops/pallas/dggcn_block.py): with
+    non-trivial BN running stats and the channel-changing residual path,
+    the one-kernel block must match the unfused module."""
+    g = Graph(layout="nturgb+d", mode="random", seed=2)
+    a = DGGCN(32, A_init=g.A.astype(np.float32))
+    b = DGGCN(32, A_init=g.A.astype(np.float32), use_pallas=True,
+              pallas_interpret=True)
+    x = _x(c=16)                               # c != out -> down path
+    variables = a.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.default_rng(11)
+    params = jax.tree.map(
+        lambda p: jnp.asarray((rng.standard_normal(p.shape) * 0.4
+                               + (1.0 if p.ndim == 1 else 0.0))
+                              .astype(np.float32)), variables["params"])
+    stats = jax.tree.map(
+        lambda s: jnp.abs(jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32))) + 0.2,
+        variables["batch_stats"])
+    v = {"params": params, "batch_stats": stats}
+    ya = a.apply(v, x, train=False)
+    yb = b.apply(v, x, train=False)
+    scale = float(jnp.max(jnp.abs(ya))) + 1e-9
+    assert float(jnp.max(jnp.abs(ya - yb))) / scale < 2e-6
