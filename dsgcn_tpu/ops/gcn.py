@@ -1018,6 +1018,52 @@ class DGPHGCN1(nn.Module):
                 edge_k = -1
             a_vec = _gate_vec(alpha, K, sem, norm, subset_wise)
             b_vec = _gate_vec(beta, K, sem, norm, subset_wise)
+
+            from .pallas.dggcn_block import fits_vmem
+            if (not train and not self.is_initializing()
+                    and not (target_specific and decompose)
+                    and fits_vmem(t, v, c, K * mid, self.out_channels, mid,
+                                  has_edge=active_edge, edge_num=E)):
+                # eval: whole block in one kernel (the simple pre_x path and
+                # the res/post tensors computed above become dead code and
+                # DCE away; the semantic x1/x2 queries stay XLA — tiny).
+                # Reads pre/post/down conv+BN params from the scope and
+                # folds the BNs, as in DGGCN._fused_block_eval.
+                from .pallas.dggcn_block import fused_dggcn_block_eval
+                from .pallas.ms_tcn import fold_bn
+                sc = self.scope
+
+                def _conv(name):
+                    s = sc.push(name, reuse=True)
+                    return (s.get_variable("params", "kernel"),
+                            s.get_variable("params", "bias"))
+
+                def _bn(name):
+                    s = sc.push(name, reuse=True).push("bn", reuse=True)
+                    return fold_bn(s.get_variable("params", "scale"),
+                                   s.get_variable("params", "bias"),
+                                   s.get_variable("batch_stats", "mean"),
+                                   s.get_variable("batch_stats", "var"))
+
+                fa, fb = _bn("pre_bn")
+                w_pre, b_pre = _conv("pre_conv")
+                w_pre, b_pre = w_pre * fa[None], b_pre * fa + fb
+                fa, fb = _bn("bn")
+                w_post, b_post = _conv("post_conv")
+                w_post, b_post = w_post * fa[None], b_post * fa + fb
+                if c != self.out_channels:
+                    fa, fb = _bn("down_bn")
+                    w_down, b_down = _conv("down_conv")
+                    w_down, b_down = w_down * fa[None], b_down * fa + fb
+                else:
+                    w_down = b_down = None
+                return fused_dggcn_block_eval(
+                    x, w_pre, b_pre, None, None, None, None, A_param,
+                    a_vec, b_vec, w_post, b_post, w_down, b_down,
+                    K=K, Cm=mid, x1=x1[..., 0, :], x2=x2[..., 0, :],
+                    edge_w=ew, edge_b=eb, edge_sel=sel, edge_k=edge_k,
+                    edge_num=E, interpret=self.pallas_interpret)
+
             y = fused_dyn_graph_agg(
                 pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
                 A_param, a_vec, b_vec, ew, eb, sel, K, mid, edge_k, E,

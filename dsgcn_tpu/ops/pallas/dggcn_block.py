@@ -1,13 +1,17 @@
-"""Mega-fused eval-mode DGGCN block: the whole spatial-GCN region of a
-DG-STGCN stage in one Pallas kernel.
+"""Mega-fused eval-mode DG/DS-GCN block: the whole spatial-GCN region of a
+stage in one Pallas kernel.
 
-Covers reference dggcn (gcn.py:1445-1584) at inference in its standard form
+Covers reference dggcn (gcn.py:1445-1584) and dgphgcn1 (gcn.py:2074-2365,
+target_specific=False values path) at inference in their standard form
 (ctr='T', ada='T', tanh/softmax):
 
     res  = x                    (or BN(down_conv(x)) when channels change)
     pre  = ReLU(BN(pre_conv(x)))                    # (T, V, K*Cm)
-    tmp  = mean_T(x); x1 = conv1(tmp); x2 = conv2(tmp)
+    x1/x2: T-mean query/key — dggcn computes them IN-KERNEL from two 1x1
+           convs; dgphgcn1's semantic/type-gathered queries are built in XLA
+           (tiny (N, K, Cm, V) tensors) and passed in
     G    = alpha*tanh(x1-x2) + beta*softmax(x1@x2) + A
+           (one subset optionally uses the DS-GCN edge-class attention)
     y    = aggregate(pre, G)                        # per-channel V->V
     out  = ReLU(BN(post_conv(y)) + res)
 
@@ -30,17 +34,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dyn_graph import _pad8, _pad128
+from .dyn_graph import _edge_ctr, _pad8, _pad128
 
 
-def _block_kernel(x_ref, wpre_ref, bpre_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  A_ref, gates_ref, wpost_ref, bpost_ref, *rest,
-                  K, Cm, has_down):
-    if has_down:
-        wdown_ref, bdown_ref, out_ref = rest
+def _block_kernel(x_ref, wpre_ref, bpre_ref, *rest, K, Cm, has_down,
+                  qk_conv, edge_k, edge_num):
+    i = 0
+    if qk_conv:                       # dggcn: build x1/x2 from the T-mean
+        w1_ref, b1_ref, w2_ref, b2_ref = rest[i:i + 4]
+        i += 4
+        x1_ref = x2_ref = None
+    else:                             # dgphgcn1: queries built in XLA
+        x1_ref, x2_ref = rest[i:i + 2]
+        i += 2
+    A_ref, gates_ref = rest[i:i + 2]
+    i += 2
+    if edge_k >= 0:
+        ew_ref, ebf_ref, sel_ref = rest[i:i + 3]
+        i += 3
     else:
-        out_ref, = rest
+        ew_ref = ebf_ref = sel_ref = None
+    wpost_ref, bpost_ref = rest[i:i + 2]
+    i += 2
+    if has_down:
+        wdown_ref, bdown_ref = rest[i:i + 2]
+        i += 2
+    else:
         wdown_ref = bdown_ref = None
+    out_ref = rest[i]
 
     f32 = jnp.float32
     x = x_ref[0].astype(f32)                            # (T, V, C)
@@ -52,31 +73,41 @@ def _block_kernel(x_ref, wpre_ref, bpre_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                               preferred_element_type=f32)
     pre = jnp.maximum(pre + bpre_ref[...], 0.0)         # (T, V, K*Cm)
 
-    # query/key from the T-mean (reference gcn.py:1528-1535, ctr=ada='T')
-    xm = jnp.mean(x, axis=0)                            # (V, C)
-    x1 = jax.lax.dot_general(xm, w1_ref[...],
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=f32) + b1_ref[...]
-    x2 = jax.lax.dot_general(xm, w2_ref[...],
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=f32) + b2_ref[...]
-    x1t = jnp.transpose(x1, (1, 0))                     # (K*Cm, V)
-    x2t = jnp.transpose(x2, (1, 0))
+    if qk_conv:
+        # query/key from the T-mean (reference gcn.py:1528-1535)
+        xm = jnp.mean(x, axis=0)                        # (V, C)
+        x1 = jax.lax.dot_general(xm, w1_ref[...],
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32) + b1_ref[...]
+        x2 = jax.lax.dot_general(xm, w2_ref[...],
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32) + b2_ref[...]
+        x1 = jnp.transpose(x1, (1, 0)).reshape(K, Cm, V)
+        x2 = jnp.transpose(x2, (1, 0)).reshape(K, Cm, V)
+    else:
+        x1 = x1_ref[0].astype(f32)                      # (K, Cm, V)
+        x2 = x2_ref[0].astype(f32)
     A = A_ref[...]
+    ew = ew_ref[...] if ew_ref is not None else None
+    ebf = ebf_ref[...] if ebf_ref is not None else None
+    sel = sel_ref[...] if sel_ref is not None else None
 
     pre_t = jnp.transpose(pre, (2, 0, 1))               # (K*Cm, T, V)
     parts = []
     for k in range(K):
-        cs = slice(k * Cm, (k + 1) * Cm)
-        q1, q2 = x1t[cs], x2t[cs]                       # (Cm, V)
+        q1, q2 = x1[k], x2[k]                           # (Cm, V)
         raw = jax.lax.dot_general(q1, q2,
                                   dimension_numbers=(((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)
         ada = jax.nn.softmax(raw, axis=-2)              # (V, W)
-        ctr = jnp.tanh(q1[:, :, None] - q2[:, None, :])
+        if ew is not None and k == edge_k:
+            ctr = _edge_ctr(q1, q2, ew, ebf, sel, edge_num, Cm)
+        else:
+            ctr = jnp.tanh(q1[:, :, None] - q2[:, None, :])
         G_k = ctr * gates_ref[0, k] + (ada * gates_ref[1, k] + A[k])[None]
         parts.append(jax.lax.dot_general(
-            pre_t[cs], G_k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            pre_t[k * Cm:(k + 1) * Cm], G_k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32))                # (Cm, T, W)
     y = jnp.transpose(jnp.concatenate(parts, axis=0), (1, 2, 0))
 
@@ -92,7 +123,8 @@ def _block_kernel(x_ref, wpre_ref, bpre_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[0] = jnp.maximum(out + res, 0.0).astype(out_ref.dtype)
 
 
-def fits_vmem(T, V, C, KCm, Cout, Cm, budget=13 * 2 ** 20):
+def fits_vmem(T, V, C, KCm, Cout, Cm, has_edge=False, edge_num=15,
+              budget=13 * 2 ** 20):
     """Whether the full-T per-sample step fits scoped VMEM: tile-shaped
     live copies (x + double-buffered in, pre + rotation, y parts + concat +
     rotation, out + res + double-buffered out) plus the per-subset graph
@@ -102,40 +134,73 @@ def fits_vmem(T, V, C, KCm, Cout, Cm, budget=13 * 2 ** 20):
     tiles = T * Vp * (3 * _pad128(C) + 4 * _pad128(KCm)
                       + 3 * _pad128(Cout)) * 4
     graph = 6 * Cm * Vp * Wp * 4
-    return tiles + graph <= budget
+    edge = (12 * edge_num * _pad8(Cm) * Wp * 4 + 2 * graph) if has_edge else 0
+    return tiles + graph + edge <= budget
+
+
+def _const_specs(consts):
+    specs, args = [], []
+    for cst in consts:
+        cst = jnp.asarray(cst, jnp.float32)
+        specs.append(pl.BlockSpec(cst.shape, lambda n, nd=cst.ndim: (0,) * nd,
+                                  memory_space=pltpu.VMEM))
+        args.append(cst)
+    return specs, args
 
 
 def fused_dggcn_block_eval(x, w_pre, b_pre, w1, b1, w2, b2, A, alpha, beta,
                            w_post, b_post, w_down=None, b_down=None, *,
-                           K, Cm, interpret=False):
+                           K, Cm, x1=None, x2=None, edge_w=None, edge_b=None,
+                           edge_sel=None, edge_k=-1, edge_num=15,
+                           interpret=False):
     """x: (N, T, V, C) -> (N, T, V, C_out).  All BNs pre-folded into the
     conv weights/biases; alpha/beta are the effective per-subset gate
-    vectors (K,)."""
+    vectors (K,).  Either (w1, b1, w2, b2) — in-kernel T-mean queries
+    (dggcn) — or (x1, x2): (N, K, Cm, V) external queries (dgphgcn1),
+    optionally with the edge-class attention on subset ``edge_k``."""
+    from .dyn_graph import _edge_specs_args
+
     N, T, V, C = x.shape
     Cout = w_post.shape[-1]
     f32 = jnp.float32
+    qk_conv = w1 is not None
     gates = jnp.stack([jnp.asarray(alpha, f32), jnp.asarray(beta, f32)])
-    consts = [w_pre, b_pre, w1, b1, w2, b2, A]
     has_down = w_down is not None
-    kernel = functools.partial(_block_kernel, K=K, Cm=Cm, has_down=has_down)
+    has_edge = edge_w is not None
+    kernel = functools.partial(_block_kernel, K=K, Cm=Cm, has_down=has_down,
+                               qk_conv=qk_conv,
+                               edge_k=edge_k if has_edge else -1,
+                               edge_num=edge_num)
     in_specs = [pl.BlockSpec((1, T, V, C), lambda n: (n, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [x]
-    for cst in consts:
-        cst = jnp.asarray(cst, f32)
-        in_specs.append(pl.BlockSpec(cst.shape,
-                                     lambda n, nd=cst.ndim: (0,) * nd,
-                                     memory_space=pltpu.VMEM))
-        args.append(cst)
+    s, a = _const_specs([w_pre, b_pre])
+    in_specs += s
+    args += a
+    if qk_conv:
+        s, a = _const_specs([w1, b1, w2, b2])
+        in_specs += s
+        args += a
+    else:
+        qk_spec = pl.BlockSpec((1, K, Cm, V), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [qk_spec, qk_spec]
+        args += [x1.astype(f32), x2.astype(f32)]
+    s, a = _const_specs([A])
+    in_specs += s
+    args += a
     in_specs.append(pl.BlockSpec((2, K), lambda n: (0, 0),
                                  memory_space=pltpu.SMEM))
     args.append(gates)
-    for cst in ([w_post, b_post] + ([w_down, b_down] if has_down else [])):
-        cst = jnp.asarray(cst, f32)
-        in_specs.append(pl.BlockSpec(cst.shape,
-                                     lambda n, nd=cst.ndim: (0,) * nd,
-                                     memory_space=pltpu.VMEM))
-        args.append(cst)
+    if has_edge:
+        especs, eargs = _edge_specs_args(edge_w, edge_b, edge_sel, edge_num,
+                                         Cm)
+        in_specs += especs
+        args += eargs
+    s, a = _const_specs([w_post, b_post]
+                        + ([w_down, b_down] if has_down else []))
+    in_specs += s
+    args += a
     return pl.pallas_call(
         kernel,
         grid=(N,),
