@@ -527,17 +527,6 @@ class DGGCN(nn.Module):
         ratio = self.ratio if self.ratio is not None else 1.0 / K
         mid = int(ratio * self.out_channels)
 
-        if (self.use_pallas and not train and not self.is_initializing()
-                and self.graph_axis is None and self.ctr == "T"
-                and self.ada == "T" and self.ctr_act == "tanh"
-                and self.ada_act == "softmax"):
-            from .pallas.dggcn_block import fits_vmem
-            if fits_vmem(t, v, c, mid * K, self.out_channels, mid):
-                # eval: whole block (pre/BN/ReLU -> graph -> post/BN/ReLU
-                # + res) in one kernel; params read from the tree the
-                # unfused path lays down at init
-                return self._fused_block_eval(x, K, mid)
-
         if c != self.out_channels:
             r = PointConv(self.out_channels, name="down_conv")(x)
             res = BatchNorm(name="down_bn", axis_name=self.graph_axis)(
@@ -586,6 +575,16 @@ class DGGCN(nn.Module):
             from .pallas.dyn_graph import fused_dyn_graph_agg
             a_vec = _gate_vec(alpha, K, 0, K, self.subset_wise)
             b_vec = _gate_vec(beta, K, 0, K, self.subset_wise)
+            if not train and not self.is_initializing():
+                # eval: whole block in one kernel (the pre_x/res tensors
+                # computed above become dead code and DCE away)
+                from .pallas.dggcn_block import fused_dggcn_block_eval
+                w_pre, b_pre, w_post, b_post, w_down, b_down = \
+                    _fold_block_params(self, c != self.out_channels)
+                return fused_dggcn_block_eval(
+                    x, x1[..., 0, :], x2[..., 0, :], w_pre, b_pre, A_param,
+                    a_vec, b_vec, w_post, b_post, w_down, b_down,
+                    K=K, Cm=mid, interpret=self.pallas_interpret)
             y = fused_dyn_graph_agg(
                 pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
                 A_param, a_vec, b_vec, None, None, None, K, mid, -1, 15,
@@ -617,54 +616,6 @@ class DGGCN(nn.Module):
         y = PointConv(self.out_channels, name="post_conv")(y)
         y = BatchNorm(name="bn")(y, use_running_average=not train)
         return jax.nn.relu(y + res)
-
-    def _fused_block_eval(self, x: Array, K: int, mid: int) -> Array:
-        """Whole-block eval fusion (ops/pallas/dggcn_block.py): reads the
-        params/batch_stats the unfused path lays down at init (identical
-        tree in both modes; eval never mutates), folds every BatchNorm into
-        its preceding conv."""
-        from .pallas.dggcn_block import fused_dggcn_block_eval
-        from .pallas.ms_tcn import fold_bn
-
-        n, t, v, c = x.shape
-        sc = self.scope
-
-        def conv(name):
-            s = sc.push(name, reuse=True)
-            return (s.get_variable("params", "kernel"),
-                    s.get_variable("params", "bias"))
-
-        def bn(name):
-            s = sc.push(name, reuse=True).push("bn", reuse=True)
-            return fold_bn(s.get_variable("params", "scale"),
-                           s.get_variable("params", "bias"),
-                           s.get_variable("batch_stats", "mean"),
-                           s.get_variable("batch_stats", "var"))
-
-        A_param = self.param("A",
-                             lambda k: jnp.asarray(self.A_init, jnp.float32))
-        alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
-        beta = self.param("beta", nn.initializers.zeros_init(), (K,))
-        a, b = bn("pre_bn")
-        w_pre, b_pre = conv("pre_conv")
-        w_pre, b_pre = w_pre * a[None], b_pre * a + b
-        w1, b1 = conv("conv1")
-        w2, b2 = conv("conv2")
-        a, b = bn("bn")
-        w_post, b_post = conv("post_conv")
-        w_post, b_post = w_post * a[None], b_post * a + b
-        if c != self.out_channels:
-            a, b = bn("down_bn")
-            w_down, b_down = conv("down_conv")
-            w_down, b_down = w_down * a[None], b_down * a + b
-        else:
-            w_down = b_down = None
-        return fused_dggcn_block_eval(
-            x, w_pre, b_pre, w1, b1, w2, b2, A_param,
-            _gate_vec(alpha, K, 0, K, self.subset_wise),
-            _gate_vec(beta, K, 0, K, self.subset_wise),
-            w_post, b_post, w_down, b_down, K=K, Cm=mid,
-            interpret=self.pallas_interpret)
 
     def _jp_aggregate(self, x, pre_x, A_param, alpha, beta, K, mid, train):
         """Joint-partitioned dynamic-graph build + ring aggregation.
@@ -1019,50 +970,20 @@ class DGPHGCN1(nn.Module):
             a_vec = _gate_vec(alpha, K, sem, norm, subset_wise)
             b_vec = _gate_vec(beta, K, sem, norm, subset_wise)
 
-            from .pallas.dggcn_block import fits_vmem
             if (not train and not self.is_initializing()
-                    and not (target_specific and decompose)
-                    and fits_vmem(t, v, c, K * mid, self.out_channels, mid,
-                                  has_edge=active_edge, edge_num=E)):
+                    and not (target_specific and decompose)):
                 # eval: whole block in one kernel (the simple pre_x path and
                 # the res/post tensors computed above become dead code and
-                # DCE away; the semantic x1/x2 queries stay XLA — tiny).
-                # Reads pre/post/down conv+BN params from the scope and
-                # folds the BNs, as in DGGCN._fused_block_eval.
+                # DCE away; the semantic x1/x2 queries stay XLA — tiny)
                 from .pallas.dggcn_block import fused_dggcn_block_eval
-                from .pallas.ms_tcn import fold_bn
-                sc = self.scope
-
-                def _conv(name):
-                    s = sc.push(name, reuse=True)
-                    return (s.get_variable("params", "kernel"),
-                            s.get_variable("params", "bias"))
-
-                def _bn(name):
-                    s = sc.push(name, reuse=True).push("bn", reuse=True)
-                    return fold_bn(s.get_variable("params", "scale"),
-                                   s.get_variable("params", "bias"),
-                                   s.get_variable("batch_stats", "mean"),
-                                   s.get_variable("batch_stats", "var"))
-
-                fa, fb = _bn("pre_bn")
-                w_pre, b_pre = _conv("pre_conv")
-                w_pre, b_pre = w_pre * fa[None], b_pre * fa + fb
-                fa, fb = _bn("bn")
-                w_post, b_post = _conv("post_conv")
-                w_post, b_post = w_post * fa[None], b_post * fa + fb
-                if c != self.out_channels:
-                    fa, fb = _bn("down_bn")
-                    w_down, b_down = _conv("down_conv")
-                    w_down, b_down = w_down * fa[None], b_down * fa + fb
-                else:
-                    w_down = b_down = None
+                w_pre, b_pre, w_post, b_post, w_down, b_down = \
+                    _fold_block_params(self, c != self.out_channels)
                 return fused_dggcn_block_eval(
-                    x, w_pre, b_pre, None, None, None, None, A_param,
+                    x, x1[..., 0, :], x2[..., 0, :], w_pre, b_pre, A_param,
                     a_vec, b_vec, w_post, b_post, w_down, b_down,
-                    K=K, Cm=mid, x1=x1[..., 0, :], x2=x2[..., 0, :],
-                    edge_w=ew, edge_b=eb, edge_sel=sel, edge_k=edge_k,
-                    edge_num=E, interpret=self.pallas_interpret)
+                    K=K, Cm=mid, edge_w=ew, edge_b=eb, edge_sel=sel,
+                    edge_k=edge_k, edge_num=E,
+                    interpret=self.pallas_interpret)
 
             y = fused_dyn_graph_agg(
                 pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
@@ -1142,6 +1063,42 @@ class _ConvParams(nn.Module):
         b = self.param("bias", torch_default_bias(self.in_features),
                        (self.features,))
         return k, b
+
+
+def _fold_block_params(mod, changes_channels: bool):
+    """Read the pre/post(/down) conv+BN params a DG/DS-GCN block's unfused
+    path lays down at init (identical tree in both modes; eval never
+    mutates) and fold each BatchNorm into its conv — for the mega-fused
+    eval block (ops/pallas/dggcn_block.py)."""
+    from .pallas.ms_tcn import fold_bn
+
+    sc = mod.scope
+
+    def conv(name):
+        s = sc.push(name, reuse=True)
+        return (s.get_variable("params", "kernel"),
+                s.get_variable("params", "bias"))
+
+    def bn(name):
+        s = sc.push(name, reuse=True).push("bn", reuse=True)
+        return fold_bn(s.get_variable("params", "scale"),
+                       s.get_variable("params", "bias"),
+                       s.get_variable("batch_stats", "mean"),
+                       s.get_variable("batch_stats", "var"))
+
+    a, b = bn("pre_bn")
+    w_pre, b_pre = conv("pre_conv")
+    w_pre, b_pre = w_pre * a[None], b_pre * a + b
+    a, b = bn("bn")
+    w_post, b_post = conv("post_conv")
+    w_post, b_post = w_post * a[None], b_post * a + b
+    if changes_channels:
+        a, b = bn("down_bn")
+        w_down, b_down = conv("down_conv")
+        w_down, b_down = w_down * a[None], b_down * a + b
+    else:
+        w_down = b_down = None
+    return w_pre, b_pre, w_post, b_post, w_down, b_down
 
 
 def _gate_vec(gates: Array, K: int, sem: int, norm: int,

@@ -7,20 +7,20 @@ target_specific=False values path) at inference in their standard form
 
     res  = x                    (or BN(down_conv(x)) when channels change)
     pre  = ReLU(BN(pre_conv(x)))                    # (T, V, K*Cm)
-    x1/x2: T-mean query/key — dggcn computes them IN-KERNEL from two 1x1
-           convs; dgphgcn1's semantic/type-gathered queries are built in XLA
-           (tiny (N, K, Cm, V) tensors) and passed in
     G    = alpha*tanh(x1-x2) + beta*softmax(x1@x2) + A
            (one subset optionally uses the DS-GCN edge-class attention)
     y    = aggregate(pre, G)                        # per-channel V->V
     out  = ReLU(BN(post_conv(y)) + res)
 
-The unfused pipeline is HBM-bound glue: pre/y round-trip HBM around the
-dynamic-graph custom call, and XLA inserts layout copies at the custom-call
-boundary (visible as `copy.*` allocations in memory dumps).  Here x is read
-once and the block output written once; every BatchNorm folds into an
-affine from running stats (eval only — training keeps the three-piece path
-whose backward is the custom-VJP kernel in dyn_graph.py).
+The T-pooled queries x1/x2 (N, K, Cm, V) are built in XLA — they are tiny,
+dgphgcn1's involve semantic type gathers, and keeping them external lets the
+kernel tile T (the graphs are T-invariant) so every stage shape fits scoped
+VMEM.  The unfused pipeline is HBM-bound glue: pre/y round-trip HBM around
+the dynamic-graph custom call, and XLA inserts layout copies at the
+custom-call boundary.  Here x is read once and the block output written
+once; every BatchNorm folds into an affine from running stats (eval only —
+training keeps the three-piece path whose backward is the custom-VJP kernel
+in dyn_graph.py).
 
 Layout discipline follows dyn_graph.py: one whole-tile rotation each way
 around the per-subset contractions, graph math in f32, no lane-dim slicing.
@@ -34,21 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dyn_graph import _edge_ctr, _pad8, _pad128
+from .dyn_graph import _edge_ctr, _edge_specs_args, _pad8, _pad128
 
 
-def _block_kernel(x_ref, wpre_ref, bpre_ref, *rest, K, Cm, has_down,
-                  qk_conv, edge_k, edge_num):
+def _block_kernel(x_ref, x1_ref, x2_ref, wpre_ref, bpre_ref, A_ref,
+                  gates_ref, *rest, K, Cm, has_down, edge_k, edge_num):
     i = 0
-    if qk_conv:                       # dggcn: build x1/x2 from the T-mean
-        w1_ref, b1_ref, w2_ref, b2_ref = rest[i:i + 4]
-        i += 4
-        x1_ref = x2_ref = None
-    else:                             # dgphgcn1: queries built in XLA
-        x1_ref, x2_ref = rest[i:i + 2]
-        i += 2
-    A_ref, gates_ref = rest[i:i + 2]
-    i += 2
     if edge_k >= 0:
         ew_ref, ebf_ref, sel_ref = rest[i:i + 3]
         i += 3
@@ -64,35 +55,22 @@ def _block_kernel(x_ref, wpre_ref, bpre_ref, *rest, K, Cm, has_down,
     out_ref = rest[i]
 
     f32 = jnp.float32
-    x = x_ref[0].astype(f32)                            # (T, V, C)
-    T, V = x.shape[0], x.shape[1]
+    x = x_ref[0].astype(f32)                            # (Tt, V, C)
 
     # pre = ReLU(BN(pre_conv(x))), BN folded host-side
     pre = jax.lax.dot_general(x, wpre_ref[...],
                               dimension_numbers=(((2,), (0,)), ((), ())),
                               preferred_element_type=f32)
-    pre = jnp.maximum(pre + bpre_ref[...], 0.0)         # (T, V, K*Cm)
+    pre = jnp.maximum(pre + bpre_ref[...], 0.0)         # (Tt, V, K*Cm)
 
-    if qk_conv:
-        # query/key from the T-mean (reference gcn.py:1528-1535)
-        xm = jnp.mean(x, axis=0)                        # (V, C)
-        x1 = jax.lax.dot_general(xm, w1_ref[...],
-                                 dimension_numbers=(((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32) + b1_ref[...]
-        x2 = jax.lax.dot_general(xm, w2_ref[...],
-                                 dimension_numbers=(((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32) + b2_ref[...]
-        x1 = jnp.transpose(x1, (1, 0)).reshape(K, Cm, V)
-        x2 = jnp.transpose(x2, (1, 0)).reshape(K, Cm, V)
-    else:
-        x1 = x1_ref[0].astype(f32)                      # (K, Cm, V)
-        x2 = x2_ref[0].astype(f32)
+    x1 = x1_ref[0].astype(f32)                          # (K, Cm, V)
+    x2 = x2_ref[0].astype(f32)
     A = A_ref[...]
     ew = ew_ref[...] if ew_ref is not None else None
     ebf = ebf_ref[...] if ebf_ref is not None else None
     sel = sel_ref[...] if sel_ref is not None else None
 
-    pre_t = jnp.transpose(pre, (2, 0, 1))               # (K*Cm, T, V)
+    pre_t = jnp.transpose(pre, (2, 0, 1))               # (K*Cm, Tt, V)
     parts = []
     for k in range(K):
         q1, q2 = x1[k], x2[k]                           # (Cm, V)
@@ -108,7 +86,7 @@ def _block_kernel(x_ref, wpre_ref, bpre_ref, *rest, K, Cm, has_down,
         parts.append(jax.lax.dot_general(
             pre_t[k * Cm:(k + 1) * Cm], G_k,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32))                # (Cm, T, W)
+            preferred_element_type=f32))                # (Cm, Tt, W)
     y = jnp.transpose(jnp.concatenate(parts, axis=0), (1, 2, 0))
 
     out = jax.lax.dot_general(y, wpost_ref[...],
@@ -123,73 +101,64 @@ def _block_kernel(x_ref, wpre_ref, bpre_ref, *rest, K, Cm, has_down,
     out_ref[0] = jnp.maximum(out + res, 0.0).astype(out_ref.dtype)
 
 
-def fits_vmem(T, V, C, KCm, Cout, Cm, has_edge=False, edge_num=15,
-              budget=13 * 2 ** 20):
-    """Whether the full-T per-sample step fits scoped VMEM: tile-shaped
-    live copies (x + double-buffered in, pre + rotation, y parts + concat +
-    rotation, out + res + double-buffered out) plus the per-subset graph
-    temporaries, padding-aware.  Callers fall back to the three-piece path
-    when this is False."""
+def block_plan(T, V, C, KCm, Cout, Cm, has_edge=False, edge_num=15,
+               budget=13 * 2 ** 20):
+    """Largest T-tile whose live set fits scoped VMEM, padding-aware:
+    tile-shaped copies (x + double-buffered in, pre + rotation, y parts +
+    concat + rotation, out + res + double-buffered out) plus the per-subset
+    graph temporaries.  The graphs are T-invariant, so tiles just rebuild
+    them (cheap next to the contractions at tt >= ~5)."""
     Vp, Wp = _pad8(V), _pad128(V)
-    tiles = T * Vp * (3 * _pad128(C) + 4 * _pad128(KCm)
-                      + 3 * _pad128(Cout)) * 4
     graph = 6 * Cm * Vp * Wp * 4
-    edge = (12 * edge_num * _pad8(Cm) * Wp * 4 + 2 * graph) if has_edge else 0
-    return tiles + graph + edge <= budget
+    edge = (12 * edge_num * _pad8(Cm) * Wp * 4 + 2 * Cm * Vp * Wp * 4) \
+        if has_edge else 0
+    per_t = Vp * (3 * _pad128(C) + 4 * _pad128(KCm) + 3 * _pad128(Cout)) * 4
+    for tt in sorted((d for d in range(1, T + 1) if T % d == 0),
+                     reverse=True):
+        if tt * per_t + graph + edge <= budget:
+            return tt
+    return 1
 
 
 def _const_specs(consts):
     specs, args = [], []
     for cst in consts:
         cst = jnp.asarray(cst, jnp.float32)
-        specs.append(pl.BlockSpec(cst.shape, lambda n, nd=cst.ndim: (0,) * nd,
+        specs.append(pl.BlockSpec(cst.shape,
+                                  lambda *a, nd=cst.ndim: (0,) * nd,
                                   memory_space=pltpu.VMEM))
         args.append(cst)
     return specs, args
 
 
-def fused_dggcn_block_eval(x, w_pre, b_pre, w1, b1, w2, b2, A, alpha, beta,
+def fused_dggcn_block_eval(x, x1, x2, w_pre, b_pre, A, alpha, beta,
                            w_post, b_post, w_down=None, b_down=None, *,
-                           K, Cm, x1=None, x2=None, edge_w=None, edge_b=None,
-                           edge_sel=None, edge_k=-1, edge_num=15,
-                           interpret=False):
-    """x: (N, T, V, C) -> (N, T, V, C_out).  All BNs pre-folded into the
-    conv weights/biases; alpha/beta are the effective per-subset gate
-    vectors (K,).  Either (w1, b1, w2, b2) — in-kernel T-mean queries
-    (dggcn) — or (x1, x2): (N, K, Cm, V) external queries (dgphgcn1),
-    optionally with the edge-class attention on subset ``edge_k``."""
-    from .dyn_graph import _edge_specs_args
-
+                           K, Cm, edge_w=None, edge_b=None, edge_sel=None,
+                           edge_k=-1, edge_num=15, interpret=False):
+    """x: (N, T, V, C) -> (N, T, V, C_out); x1/x2: (N, K, Cm, V) T-pooled
+    queries (XLA-built).  All BNs pre-folded into the conv weights/biases;
+    alpha/beta are the effective per-subset gate vectors (K,); optional
+    edge-class attention on subset ``edge_k``."""
     N, T, V, C = x.shape
     Cout = w_post.shape[-1]
     f32 = jnp.float32
-    qk_conv = w1 is not None
     gates = jnp.stack([jnp.asarray(alpha, f32), jnp.asarray(beta, f32)])
     has_down = w_down is not None
     has_edge = edge_w is not None
+    tt = block_plan(T, V, C, K * Cm, Cout, Cm, has_edge, edge_num)
+    nt = T // tt
     kernel = functools.partial(_block_kernel, K=K, Cm=Cm, has_down=has_down,
-                               qk_conv=qk_conv,
                                edge_k=edge_k if has_edge else -1,
                                edge_num=edge_num)
-    in_specs = [pl.BlockSpec((1, T, V, C), lambda n: (n, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    args = [x]
-    s, a = _const_specs([w_pre, b_pre])
+    qk_spec = pl.BlockSpec((1, K, Cm, V), lambda n, t: (n, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, tt, V, C), lambda n, t: (n, t, 0, 0),
+                             memory_space=pltpu.VMEM), qk_spec, qk_spec]
+    args = [x, x1.astype(f32), x2.astype(f32)]
+    s, a = _const_specs([w_pre, b_pre, A])
     in_specs += s
     args += a
-    if qk_conv:
-        s, a = _const_specs([w1, b1, w2, b2])
-        in_specs += s
-        args += a
-    else:
-        qk_spec = pl.BlockSpec((1, K, Cm, V), lambda n: (n, 0, 0, 0),
-                               memory_space=pltpu.VMEM)
-        in_specs += [qk_spec, qk_spec]
-        args += [x1.astype(f32), x2.astype(f32)]
-    s, a = _const_specs([A])
-    in_specs += s
-    args += a
-    in_specs.append(pl.BlockSpec((2, K), lambda n: (0, 0),
+    in_specs.append(pl.BlockSpec((2, K), lambda n, t: (0, 0),
                                  memory_space=pltpu.SMEM))
     args.append(gates)
     if has_edge:
@@ -203,12 +172,12 @@ def fused_dggcn_block_eval(x, w_pre, b_pre, w1, b1, w2, b2, A, alpha, beta,
     args += a
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N, nt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, T, V, Cout), lambda n: (n, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, tt, V, Cout), lambda n, t: (n, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, T, V, Cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(*args)
