@@ -434,3 +434,55 @@ def load_ref_necks():
     return dict(causal=causal, pre_train=pre,
                 causalnn=importlib.import_module(
                     "refpyskl.models.necks.causalnn"))
+
+
+def load_ref_nested_sparse():
+    """Import the nested-copy (`pyskl/pyskl/`, SURVEY §0.1) sparse family:
+    AAGCN_sparse, DGSTGCN_sparse, Assemble_sparse, SMoEAssemble_sparse.
+
+    These files do ABSOLUTE imports of the outer package
+    (`from pyskl.models.gcns.utils import gcn_sparse, tcn_sparse`, SMoE.py:4)
+    and relative imports inside the nested copy (`from .utils import ...`,
+    which resolves to the NESTED gcns/utils whose gcn_sparse.py differs from
+    the outer one).  We alias the refpyskl scaffolding under the real name
+    `pyskl` and materialize `pyskl.pyskl` package structure over the nested
+    sources.
+    """
+    load_ref_backbones()
+    NEST = f"{REF}/pyskl/pyskl"
+
+    # absolute `pyskl` -> the refpyskl scaffolding (same real source files)
+    for ref_name in ("refpyskl", "refpyskl.utils", "refpyskl.models",
+                     "refpyskl.models.builder", "refpyskl.models.gcns",
+                     "refpyskl.models.gcns.utils"):
+        pub = ref_name.replace("refpyskl", "pyskl", 1)
+        if pub not in sys.modules:
+            sys.modules[pub] = sys.modules[ref_name]
+
+    # nested package over the real nested sources
+    graph_mod = load_ref_graph()
+    _ensure_pkg("pyskl.pyskl", NEST)
+    nutils = _ensure_pkg("pyskl.pyskl.utils", f"{NEST}/utils")
+    nutils.Graph = graph_mod.Graph          # graph.py identical to outer
+    nutils.cache_checkpoint = lambda x: x
+    _ensure_pkg("pyskl.pyskl.models", f"{NEST}/models")
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    nbuilder = _ensure_stub_module("pyskl.pyskl.models.builder",
+                                   BACKBONES=_Registry(), HEADS=_Registry(),
+                                   RECOGNIZERS=_Registry(), LOSSES=_Registry())
+    nbuilder.__package__ = "pyskl.pyskl.models"
+    _ensure_pkg("pyskl.pyskl.models.gcns", f"{NEST}/models/gcns")
+    # the NESTED gcns/utils package (its gcn_sparse.py threads thresholds)
+    importlib.import_module("pyskl.pyskl.models.gcns.utils")
+
+    mods = {}
+    for name in ("stgcn_sparse", "ctrgcn_sparse", "aagcn_sparse",
+                 "dggcn_sparse", "Assemble_sparse", "SMoE"):
+        mods[name] = importlib.import_module(f"pyskl.pyskl.models.gcns.{name}")
+    return mods
