@@ -311,7 +311,13 @@ def _block_score_pool(block_params):
 class SparseCTRGCN(nn.Module):
     """CTRGCN_sparse backbone (ctrgcn_sparse.py:72-163): CTR-GCN stages with
     supermasked convs; each stage's mask threshold is the global percentile
-    of its pooled scores at the scheduled sparsity."""
+    of its pooled scores at the scheduled sparsity.
+
+    ``pool_all_scores``: the OUTER copy builds the inner CTRGC convs with
+    sparse_ratio=0 so their scores stay out of the stage pool
+    (gcn_sparse.py:272); the NESTED copy fixes that
+    (pyskl/pyskl/.../gcn_sparse.py:291) — set True for nested semantics
+    (SMoE/Assemble experts)."""
     graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="spatial")
     in_channels: int = 3
     base_channels: int = 64
@@ -322,6 +328,7 @@ class SparseCTRGCN(nn.Module):
     linear_sparsity: float = 0.0
     warm_up: int = 0
     sparse_decay: bool = False
+    pool_all_scores: bool = False
 
     def epoch_sparsity(self, current_epoch, max_epoch):
         return sparsity_schedule(self.linear_sparsity, current_epoch,
@@ -343,7 +350,9 @@ class SparseCTRGCN(nn.Module):
             if self.is_initializing():
                 x = blk(x, jnp.float32(-jnp.inf), train=train)
                 continue
-            pool = _block_score_pool(self.variables["params"][f"block{i}"])
+            pooler = (_all_score_pool if self.pool_all_scores
+                      else _block_score_pool)
+            pool = pooler(self.variables["params"][f"block{i}"])
             thr = pooled_threshold(pool, sparsity)
             x = blk(x, thr, train=train)
         return x.reshape((n, m) + x.shape[1:])
@@ -421,7 +430,12 @@ class SparseSTGCNExact(nn.Module):
     every sparse conv shares the configured ratio).  The committed default
     gcn_type='unit_gcn' is unusable (plain unit_gcn rejects sparse_ratio,
     stgcn_sparse.py:41); the working configuration is
-    gcn_type='unit_gcn_sparse' + tcn_type='unit_tcn_sparse'."""
+    gcn_type='unit_gcn_sparse' + tcn_type='unit_tcn_sparse'.
+
+    ``global_threshold``: the NESTED copy pools scores over ALL stages for a
+    single threshold (pyskl/pyskl/.../stgcn_sparse.py:182 passes self.gcn,
+    not self.gcn[i]) — set True for nested semantics (SMoE/Assemble
+    experts); the outer copy thresholds per stage (default)."""
     graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="spatial")
     in_channels: int = 3
     base_channels: int = 64
@@ -432,6 +446,7 @@ class SparseSTGCNExact(nn.Module):
     linear_sparsity: float = 0.0
     warm_up: int = 0
     sparse_decay: bool = False
+    global_threshold: bool = False
 
     def epoch_sparsity(self, current_epoch, max_epoch):
         return sparsity_schedule(self.linear_sparsity, current_epoch,
@@ -447,11 +462,18 @@ class SparseSTGCNExact(nn.Module):
         plan = stage_plan(self.in_channels, self.base_channels, 2,
                           self.num_stages, self.inflate_stages,
                           self.down_stages)
+        thr_global = None
+        if self.global_threshold and not self.is_initializing():
+            pool = _all_score_pool(self.variables["params"])
+            thr_global = pooled_threshold(pool, sparsity)
         for i, (in_c, out_c, stride, residual) in enumerate(plan):
             blk = SparseSTGCNBlockExact(out_c, A=A, stride=stride,
                                         residual=residual, name=f"block{i}")
             if self.is_initializing():
                 x = blk(x, jnp.float32(-jnp.inf), train=train)
+                continue
+            if thr_global is not None:
+                x = blk(x, thr_global, train=train)
                 continue
             pool = _all_score_pool(self.variables["params"][f"block{i}"])
             thr = pooled_threshold(pool, sparsity)

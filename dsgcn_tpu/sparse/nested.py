@@ -361,3 +361,103 @@ class SparseDGSTGCN(nn.Module):
             thr = pooled_threshold(pool, sparsity)
             x = blk(x, thr, train=train)
         return x.reshape((n, m) + x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Assemble_sparse (nested Assemble_sparse.py:14-256)
+# ---------------------------------------------------------------------------
+
+
+class AssembleSparse(nn.Module):
+    """Multi-backbone sparse assembly (nested Assemble_sparse.py:102-256):
+    B parallel branch streams — one sparse block family per entry of
+    ``model_list`` — evolve independently through the 10-stage plan, each on
+    its slice of the stacked adjacency (A reshaped to (B, K/B, V, V),
+    :40-41), with per-(stage, branch) percentile thresholds at that branch's
+    ratio (:64-80).  Shared MVC data_bn; output stacked
+    (B, N, M, T', V, C').
+
+    The nested recognizer glue (RecongnizerGCN_Assemble.py:39-42) calls
+    ``cls_head.loss(x, cls_score, gt_label)`` — a 3-arg signature no
+    committed head implements, so the reference's Assemble training path is
+    broken as committed; the backbone contract above is the reproducible
+    part.
+    """
+    model_list: Tuple[str, ...]
+    sparse_ratio: Tuple[float, ...]
+    graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="spatial")
+    in_channels: int = 3
+    base_channels: int = 64
+    num_person: int = 2
+    num_stages: int = 10
+    inflate_stages: Tuple[int, ...] = (5, 8)
+    down_stages: Tuple[int, ...] = (5, 8)
+    warm_up: int = 0
+    sparse_decay: bool = False
+
+    def _branch_block(self, family, A_i, out_c, stride, residual, name):
+        from .models import SparseCTRGCNBlock, SparseSTGCNBlockExact
+        if family == "ST-GCN":
+            return SparseSTGCNBlockExact(out_c, A=A_i, stride=stride,
+                                         residual=residual, name=name)
+        if family == "AA-GCN":
+            return SparseAAGCNBlock(out_c, A_init=A_i, stride=stride,
+                                    residual=residual, name=name)
+        if family == "CTR-GCN":
+            return SparseCTRGCNBlock(out_c, A=A_i, stride=stride,
+                                     residual=residual, name=name)
+        if family == "DG-GCN":
+            return SparseDGBlock(out_c, A_init=A_i, stride=stride,
+                                 residual=residual, name=name)
+        raise ValueError(f"unknown branch family {family!r}")
+
+    @nn.compact
+    def __call__(self, x: Array, current_epoch, max_epoch,
+                 *, train: bool) -> Array:
+        n, m, t, v, c = x.shape
+        B = len(self.model_list)
+        graph = Graph.from_config(self.graph_cfg)
+        A = graph.A.astype(np.float32)
+        K = A.shape[0]
+        assert K % B == 0, (K, B)
+        A = A.reshape(B, K // B, v, v)
+        x = DataBN("MVC", name="data_bn")(x, train=train)
+        x = x.reshape(n * m, t, v, c)
+        plan = stage_plan(self.in_channels, self.base_channels, 2,
+                          self.num_stages, self.inflate_stages,
+                          self.down_stages)
+        streams = [x] * B
+        for i, (in_c, out_c, stride, residual) in enumerate(plan):
+            # faithful quirk: AssembleBlock never forwards its residual flag
+            # to the branch blocks (Assemble_sparse.py:44-61 builds them
+            # without residual=...), so even the first stage keeps the
+            # default residual=True (a 3->64 down-projection)
+            for j, family in enumerate(self.model_list):
+                name = f"stage{i}_branch{j}"
+                blk = self._branch_block(family, A[j], out_c, stride,
+                                         True, name)
+                if self.is_initializing():
+                    streams[j] = blk(streams[j], jnp.float32(-jnp.inf),
+                                     train=train)
+                    continue
+                sp = sparsity_schedule(self.sparse_ratio[j], current_epoch,
+                                       max_epoch, self.warm_up,
+                                       self.sparse_decay)
+                pool = _all_score_pool(self.variables["params"][name])
+                thr = pooled_threshold(pool, sp)
+                streams[j] = blk(streams[j], thr, train=train)
+        out = [s.reshape((n, m) + s.shape[1:]) for s in streams]
+        return jnp.stack(out, axis=0)
+
+
+def assemble_regularize(params, model_list: Tuple[str, ...],
+                        sparse_ratio: Tuple[float, ...], lam: float,
+                        penalty: str = "GSGL"):
+    """Assemble_sparse.regularize (Assemble_sparse.py:217-256): GSGL over
+    each (branch, stage) block's pruned (score <= threshold) weights —
+    single-append here, unlike the SMoE variant's double-append quirk."""
+    from .smoe import _stage_mask_penalty
+    return _stage_mask_penalty(
+        [(params[k], sparse_ratio[int(k.split("_branch")[1])])
+         for k in sorted(params) if "_branch" in k],
+        lam, penalty)

@@ -228,3 +228,108 @@ def test_nested_sparse_backbones_train_step():
         p2 = optax.apply_updates(params, upd)
         (l1, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(p2)
         assert float(l1) < float(l0)
+
+
+# ---------------------------------------------------------------------------
+# Assemble_sparse (nested Assemble_sparse.py)
+# ---------------------------------------------------------------------------
+
+
+def _stgcn_block_vars(blk):
+    import torch.nn as nn
+    bp = {"gcn": {"A": jnp.asarray(tb.t2n(blk.gcn.A)),
+                  "conv": _sparse_dense(blk.gcn.conv),
+                  "bn": tb.bn_p(blk.gcn.bn)},
+          "tcn_conv": _sparse_tconv(blk.tcn.conv),
+          "tcn_bn": tb.bn_p(blk.tcn.bn)}
+    bs = {"gcn": {"bn": tb.bn_s(blk.gcn.bn)},
+          "tcn_bn": tb.bn_s(blk.tcn.bn)}
+    if isinstance(blk.residual, nn.Module):
+        bp["residual"] = _sparse_tconv(blk.residual.conv)
+        bp["residual_bn"] = tb.bn_p(blk.residual.bn)
+        bs["residual_bn"] = tb.bn_s(blk.residual.bn)
+    return bp, bs
+
+
+def _ctrgcn_block_vars(blk):
+    import torch.nn as nn
+    g = blk.gcn1
+    gp = {"A": jnp.asarray(tb.t2n(g.A)), "alpha": jnp.asarray(tb.t2n(g.alpha))}
+    gs = {}
+    for j, cv in enumerate(g.convs):
+        gp[f"convs{j}"] = {f"conv{k + 1}": _sparse_dense(
+            getattr(cv, f"conv{k + 1}")) for k in range(4)}
+    if isinstance(g.down, nn.Sequential):
+        gp["down_conv"] = _sparse_dense(g.down[0])
+        gp["down_bn"] = tb.bn_p(g.down[1])
+        gs["down_bn"] = tb.bn_s(g.down[1])
+    tp, ts = _mstcn_params(blk.tcn1)
+    bp, bs = {"gcn1": gp, "tcn1": tp}, {"gcn1": gs, "tcn1": ts}
+    if isinstance(blk.residual, nn.Module):
+        bp["residual"] = _sparse_tconv(blk.residual.conv)
+        bp["residual_bn"] = tb.bn_p(blk.residual.bn)
+        bs["residual_bn"] = tb.bn_s(blk.residual.bn)
+    return bp, bs
+
+
+@pytest.fixture(scope="module")
+def ref_assemble(nested):
+    torch.manual_seed(1)
+    ref = nested["Assemble_sparse"].Assemble_sparse(
+        dict(layout="nturgb+d", mode="random", num_filter=6,
+             init_off=0.04, init_std=0.02),
+        model_list=["ST-GCN", "CTR-GCN"], sparse_ratio=[0.4, 0.5],
+        num_stages=3, inflate_stages=[3], down_stages=[3], warm_up=0,
+        ST_kwargs=dict(gcn_type="unit_gcn_sparse",
+                       tcn_type="unit_tcn_sparse"),
+        CTR_kwargs=dict(gcn_type="unit_ctrgcn_sparse",
+                        tcn_type="mstcn_sparse"))
+    _randomize(ref)
+    ref.eval()
+    return ref
+
+
+def _copy_assemble_vars(ref):
+    params = {"data_bn": {"bn": tb.plain_bn_p(ref.data_bn)}}
+    stats = {"data_bn": {"bn": tb.plain_bn_s(ref.data_bn)}}
+    for i, ab in enumerate(ref.net):
+        for j, blk in enumerate(ab.net):
+            name = f"stage{i}_branch{j}"
+            if j == 0:
+                params[name], stats[name] = _stgcn_block_vars(blk)
+            else:
+                params[name], stats[name] = _ctrgcn_block_vars(blk)
+    return {"params": params, "batch_stats": stats}
+
+
+def test_assemble_sparse_backbone_parity(ref_assemble):
+    """Full stacked-branch forward parity: B independent branch streams on
+    their adjacency slices, per-(stage, branch) thresholds."""
+    from dsgcn_tpu.sparse.nested import AssembleSparse
+    x = RNG.standard_normal((2, 2, 8, 25, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_assemble(torch.tensor(x), 5, 10).numpy()  # (B,N,M,C,T,V)
+
+    our = AssembleSparse(
+        model_list=("ST-GCN", "CTR-GCN"), sparse_ratio=(0.4, 0.5),
+        graph_cfg=GraphConfig(layout="nturgb+d", mode="random", num_filter=6,
+                              init_off=0.04, init_std=0.02),
+        num_stages=3, inflate_stages=(3,), down_stages=(3,))
+    got = our.apply(_copy_assemble_vars(ref_assemble), jnp.asarray(x),
+                    5, 10, train=False)
+    got = np.transpose(np.asarray(got), (0, 1, 2, 5, 3, 4))
+    assert got.shape == want.shape
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4 * scale)
+
+
+def test_assemble_regularize_parity(ref_assemble):
+    """GSGL over per-(branch, stage) pruned weights (Assemble_sparse.py:
+    217-256; single-append, unlike the SMoE double-append quirk)."""
+    from dsgcn_tpu.sparse.nested import assemble_regularize
+    want = float(ref_assemble.regularize(0.3, "GSGL", 5, 10))
+    variables = _copy_assemble_vars(ref_assemble)
+    got = float(assemble_regularize(variables["params"],
+                                    ("ST-GCN", "CTR-GCN"), (0.4, 0.5),
+                                    lam=0.3, penalty="GSGL"))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
