@@ -9,7 +9,12 @@ Round-1 numbers (BENCH_r01) suffered exactly that; these are honest.
 
 Headline mirrors the reference's published FPS setup
 (examples/inference_speed.ipynb: batch 16, M=2, T=100, V=25, fp32) vs its
-RTX 2080Ti number (409 FPS, BASELINE.md).  Extra fields: saturated-batch
+RTX 2080Ti number (409 FPS, BASELINE.md).  The headline b16 loop runs ON
+DEVICE (lax.scan of dependent iterations — one dispatch, like the
+reference's local-GPU loop which pays no per-call network hop); the
+``*_hostloop`` fields keep the host-driven numbers, and
+``*_deviceloop_check`` cross-validates the scan timing against the host
+loop at saturated batch (must be ~1).  Extra fields: saturated-batch
 fp32/bf16 throughput (params pre-cast to bf16 — the production inference
 path), XLA-vs-Pallas dynamic-graph comparison, training clips/s at b64 and
 saturated batch, achieved TFLOP/s + MFU from XLA's cost analysis, edges/s.
@@ -52,6 +57,34 @@ def _bench_scalar(fn, args, iters=6, reps=3):
     return best
 
 
+def _bench_device_loop(apply_fn, variables, x, iters=32, reps=3):
+    """Per-iteration seconds with the loop ON DEVICE: one dispatch covers
+    ``iters`` sequentially-dependent executions (lax.scan), so per-dispatch
+    host/tunnel overhead — which the reference's local-GPU timing loop does
+    not pay — is excluded.  Each iteration perturbs the input with the
+    previous iteration's scalar so XLA cannot hoist or CSE the body.
+    Methodology is cross-validated in main(): at saturated batch (compute »
+    dispatch) this must agree with the host-loop number."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(v_, x_):
+        def body(c, _):
+            out = apply_fn(v_, x_ + c * jnp.float32(1e-30)).sum()
+            return out, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    f = jax.jit(run)
+    float(f(variables, x))   # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = float(f(variables, x))  # noqa: F841
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -82,14 +115,31 @@ def main():
             lambda k, x_: model.init(k, x_, train=False))(
             jax.random.PRNGKey(0), x16[:2])
         models[name] = (model, variables)
-        fwd = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False).sum())
-        _mark(f"{name}: infer b16")
-        results[f"{name}_infer_fps_b16"] = 16 / _bench_scalar(
+        eapply = lambda v_, x_: model.apply(v_, x_, train=False)  # noqa: E731
+        fwd = jax.jit(lambda v_, x_: eapply(v_, x_).sum())
+        _mark(f"{name}: infer b16 (host loop)")
+        results[f"{name}_infer_fps_b16_hostloop"] = 16 / _bench_scalar(
             fwd, (variables, x16), iters=10, reps=3)
+        _mark(f"{name}: infer b16 (device loop)")
+        try:
+            results[f"{name}_infer_fps_b16"] = 16 / _bench_device_loop(
+                eapply, variables, x16, iters=64)
+        except Exception as e:   # never lose the whole bench to the scan path
+            _mark(f"{name}: device loop failed ({e!r}); using host loop")
+            results[f"{name}_infer_fps_b16"] = \
+                results[f"{name}_infer_fps_b16_hostloop"]
         sb = sat_batch[name]
         _mark(f"{name}: infer b{sb}")
         dt = _bench_scalar(fwd, (variables, x1k[:sb]), iters=4)
         results[f"{name}_infer_fps_b{sb}"] = sb / dt
+        # methodology cross-check: at saturated batch the device-loop and
+        # host-loop numbers must agree (compute >> per-dispatch overhead)
+        _mark(f"{name}: infer b{sb} (device loop)")
+        try:
+            dt_dev = _bench_device_loop(eapply, variables, x1k[:sb], iters=8)
+            results[f"{name}_deviceloop_check_b{sb}"] = dt / dt_dev
+        except Exception as e:
+            _mark(f"{name}: device loop failed ({e!r})")
 
         # achieved rate + MFU from XLA's own FLOP count of the compiled fwd
         comp = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)) \

@@ -19,7 +19,7 @@ import numpy as np
 
 REFERENCE_FPS_2080TI = {  # BASELINE.md / examples/inference_speed.ipynb
     "aagcn": 274, "ctrgcn": 353, "dgstgcn": 409, "msg3d": 111,
-    "stgcn": 518, "stgcn++": 476,
+    "stgcn": 518, "stgcn++": 476, "posec3d": 41,
 }
 
 
@@ -49,7 +49,32 @@ def main():
 
     rows = []
     for name in ("stgcn", "stgcn++", "aagcn", "ctrgcn", "dgstgcn", "dsgcn",
-                 "msg3d", "sgn"):
+                 "msg3d", "sgn", "posec3d"):
+        if name == "posec3d":
+            # heatmap pathway: reference setup is 48-frame 56x56 17-channel
+            # pseudo-heatmap volumes (configs/posec3d/slowonly_ntu60_xsub.py)
+            from dsgcn_tpu.configs.config import Config
+            from dsgcn_tpu.models.builder import build_model
+            cfgd = Config.fromfile("configs/posec3d/slowonly_ntu60_xsub.py")
+            model = build_model(cfgd["model"])
+            hx16 = jnp.asarray(rng.standard_normal(
+                (16, 48, 56, 56, 17)).astype(np.float32))
+            variables = jax.jit(
+                lambda k, x_: model.init(k, x_, train=False))(
+                jax.random.PRNGKey(0), hx16[:2])
+            fwd = jax.jit(
+                lambda v_, x_: model.apply(v_, x_, train=False).sum())
+            fps16 = 16 / _bench(fwd, (variables, hx16))
+            sb = 64
+            hxb = jnp.asarray(rng.standard_normal(
+                (sb, 48, 56, 56, 17)).astype(np.float32))
+            fps_sat = sb / _bench(fwd, (variables, hxb), iters=4)
+            ref = REFERENCE_FPS_2080TI[name]
+            rows.append((name, fps16, fps_sat, sb, ref))
+            print(f"{name:10s} b16 {fps16:10.0f}/s   b{sb} {fps_sat:10.0f}/s"
+                  f"  ref(2080Ti) {ref}/s  speedup {fps16 / ref:.0f}x",
+                  flush=True)
+            continue
         t = 30 if name == "sgn" else 100
         xa = x16[:, :, :t] if t != 100 else x16
         model = build_named_model(name, num_classes=60)
