@@ -70,3 +70,22 @@ def gc_recognizer_losses(outputs, logits, labels):
     ce = cross_entropy(logits, labels)
     total = ce + sum(extra.values())
     return total, {"loss_cls": ce, **extra}
+
+
+def smoe_recognizer_losses(cls_logits, labels, important_loss, *,
+                           current_epoch=0, warm_up=0, lam="gradual",
+                           penalty_value=None):
+    """SMoE recognizer objective (RecognizerGCN_sMoE.py:22-70): CE on the
+    ClsHead logits over the gate-combined pooled feature, plus the gating
+    balance loss, plus — ONLY while current_epoch <= warm_up — the GSGL
+    regularizer scaled by lam ('gradual' ramps lam = min(epoch/warm_up, 1),
+    :46-62).  ``penalty_value`` is smoe_regularize(...) evaluated at lam=1
+    (scaling applied here so the lam schedule stays host-side)."""
+    losses = {"loss_cls": cross_entropy(cls_logits, labels),
+              "important_loss": important_loss}
+    if penalty_value is not None and current_epoch <= warm_up:
+        if lam == "gradual":
+            lam = min(current_epoch / max(warm_up, 1), 1.0)
+        losses["panelty_loss"] = lam * penalty_value   # reference spelling
+    losses["loss"] = sum(losses.values())
+    return losses

@@ -272,3 +272,39 @@ def test_smoe_expert_parallel_matches_dense():
     np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(got_aux), float(want_aux), rtol=1e-5)
+
+
+def test_smoe_recognizer_flow():
+    """End-to-end SMoE training objective (RecognizerGCN_sMoE.py:22-70):
+    backbone -> ClsHead -> CE + gating balance loss + warmup-gated GSGL
+    penalty with the gradual lam ramp."""
+    from dsgcn_tpu.core.flows import smoe_recognizer_losses
+    from dsgcn_tpu.models.heads import ClsHead
+
+    model = _our_smoe()
+    x = jnp.asarray(RNG.standard_normal((4, 2, 8, 25, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, 0, 10, train=False)
+    head = ClsHead(num_classes=5, in_channels=128, dropout=0.0)
+    feat0 = jnp.zeros((1, 128))
+    hv = head.init(jax.random.PRNGKey(1), feat0, train=False)
+    labels = jnp.asarray(RNG.integers(0, 5, size=4))
+
+    feat, aux = model.apply(variables, x, 2, 10, train=True,
+                            rng=jax.random.PRNGKey(2),
+                            mutable=["batch_stats"])[0]
+    logits = head.apply(hv, feat, train=False)
+    pen = smoe_regularize(variables["params"], MODELS, RATIOS, lam=1.0)
+
+    # inside warmup: gradual lam = 2/4
+    losses = smoe_recognizer_losses(logits, labels, aux, current_epoch=2,
+                                    warm_up=4, penalty_value=pen)
+    np.testing.assert_allclose(float(losses["panelty_loss"]),
+                               0.5 * float(pen), rtol=1e-6)
+    assert float(losses["loss"]) == pytest.approx(
+        float(losses["loss_cls"]) + float(losses["important_loss"])
+        + float(losses["panelty_loss"]), rel=1e-6)
+
+    # past warmup: no penalty term
+    losses = smoe_recognizer_losses(logits, labels, aux, current_epoch=7,
+                                    warm_up=4, penalty_value=pen)
+    assert "panelty_loss" not in losses and np.isfinite(float(losses["loss"]))
