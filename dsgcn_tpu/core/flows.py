@@ -89,3 +89,13 @@ def smoe_recognizer_losses(cls_logits, labels, important_loss, *,
         losses["panelty_loss"] = lam * penalty_value   # reference spelling
     losses["loss"] = sum(losses.values())
     return losses
+
+
+def gcnr_losses(cls_logits, labels, align_cost):
+    """RecognizerGCNR objective (recognizergcnR.py:22-52): CE on the head
+    over the neck's hierarchical readout + the neck's soft-min alignment
+    cost as 'neck_loss' (get_aligncost).  Pairs with PretrainNeck /
+    MultiModuleHook-style alternating optimizers (make_sparse_optimizer)."""
+    loss_cls = cross_entropy(cls_logits, labels)
+    return {"loss_cls": loss_cls, "neck_loss": align_cost,
+            "loss": loss_cls + align_cost}

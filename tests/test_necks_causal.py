@@ -149,3 +149,16 @@ def test_pretrain_neck_contrastive(refnecks):
                           method=PretrainNeck.get_intercost)
     np.testing.assert_allclose(float(got_intra), float(want_intra), rtol=2e-4)
     np.testing.assert_allclose(float(got_inter), float(want_inter), rtol=2e-4)
+
+
+def test_gcnr_flow():
+    """RecognizerGCNR loss assembly (recognizergcnR.py:22-52): CE + the
+    PretrainNeck alignment cost, both parity-tested pieces."""
+    import jax.numpy as jnp
+    from dsgcn_tpu.core.flows import gcnr_losses
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 5)).astype(np.float32))
+    labels = jnp.asarray([0, 2, 1, 4])
+    losses = gcnr_losses(logits, labels, jnp.float32(0.37))
+    assert float(losses["loss"]) == pytest.approx(
+        float(losses["loss_cls"]) + 0.37, rel=1e-6)
