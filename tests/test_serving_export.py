@@ -125,3 +125,33 @@ def test_export_cli(tmp_path):
     scores = served.predict(clips)
     assert scores.shape == (man["num_classes"],)
     assert np.isfinite(scores).all()
+
+
+@pytest.mark.slow
+def test_train_then_export_cli(tmp_path):
+    """tools/train.py --export-dir: one training epoch then a standalone
+    serving artifact, servable without any model code."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = str(tmp_path / "synth.pkl")
+    r = subprocess.run(
+        [sys.executable, "tools/data/make_synthetic.py", data],
+        capture_output=True, text=True, cwd=root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cfg_text = open(os.path.join(
+        root, "configs/synthetic/export_tiny.py")).read()
+    cfg_path = str(tmp_path / "cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text.replace("data/synth.pkl", data))
+    out = str(tmp_path / "art")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/train.py", cfg_path,
+         "--work-dir", str(tmp_path / "wd"), "--export-dir", out],
+        capture_output=True, text=True, cwd=root, env=env)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    served = load_exported(out)
+    clips = np.random.default_rng(0).standard_normal(
+        (2, *served.manifest["sample_shape"])).astype(np.float32)
+    assert served.predict(clips).shape == (10,)

@@ -23,6 +23,9 @@ def parse_args():
     p.add_argument("--total-epochs", type=int)
     p.add_argument("--no-auto-resume", action="store_true")
     p.add_argument("--test-last", action="store_true")
+    p.add_argument("--export-dir", default=None,
+                   help="after training, AOT-export the final weights as a "
+                        "standalone serving artifact (dsgcn_tpu/serving.py)")
     return p.parse_args()
 
 
@@ -98,6 +101,22 @@ def main():
     trainer.fit()
     if args.test_last and val_loader is not None:
         print("final:", trainer.validate())
+    if args.export_dir:
+        import jax
+        from dsgcn_tpu.serving import export_recognizer
+        state = jax.device_get(trainer.state)
+        kp = next(iter(train_loader.epoch(0)))["keypoint"]
+        # per-sample shape without batch (and without the clip dim the
+        # trainer squeezes for 6-D batches)
+        sample_shape = tuple(kp.shape[2:] if kp.ndim == 6 else kp.shape[1:])
+        manifest = export_recognizer(
+            model, {"params": state.params, "batch_stats": state.batch_stats},
+            args.export_dir, sample_shape=sample_shape,
+            average_clips=cfg["model"].get("test_cfg", {}).get(
+                "average_clips", "prob"))
+        print(f"exported serving artifact -> {args.export_dir} "
+              f"(poly={manifest['polymorphic_batch']}, "
+              f"{manifest['num_params']} params)")
 
 
 if __name__ == "__main__":
