@@ -19,7 +19,8 @@ import numpy as np
 
 from ..data.dataset import Loader
 from ..models.recognizer import average_clip
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (batch_sharding, make_multihost_mesh, replicate,
+                             shard_batch)
 from ..parallel.train import make_dp_eval_step, make_dp_train_step
 from .checkpoint import CheckpointManager
 from .metrics import evaluate
@@ -31,13 +32,16 @@ class JsonlLogger:
     TextLogger/.log.json, tools/train.py:93-95)."""
 
     def __init__(self, work_dir: str, filename: Optional[str] = None,
-                 echo: bool = True):
+                 echo: bool = True, enabled: bool = True):
         os.makedirs(work_dir, exist_ok=True)
         name = filename or f"{time.strftime('%Y%m%d_%H%M%S')}.log.jsonl"
         self.path = os.path.join(work_dir, name)
         self.echo = echo
+        self.enabled = enabled   # False on non-primary hosts (shared work_dir)
 
     def log(self, record: Dict[str, Any]):
+        if not self.enabled:
+            return
         record = {k: (float(v) if isinstance(v, (jnp.ndarray, np.floating,
                                                  np.ndarray)) else v)
                   for k, v in record.items()}
@@ -68,8 +72,9 @@ class Trainer:
         self.eval_interval = eval_interval
         self.eval_metrics = list(eval_metrics)
         self.average_clips = average_clips
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.logger = JsonlLogger(work_dir)
+        self.mesh = mesh if mesh is not None else make_multihost_mesh()
+        self.is_main = jax.process_index() == 0
+        self.logger = JsonlLogger(work_dir, enabled=self.is_main)
 
         steps_per_epoch = train_loader.steps_per_epoch()
         total_steps = steps_per_epoch * total_epochs
@@ -163,9 +168,23 @@ class Trainer:
                 # wrap-around as many times as needed (the final batch can
                 # hold fewer folded clips than the mesh data axis)
                 folded = folded[np.arange(len(folded) + pad) % len(folded)]
-            logits = self.eval_fwd(self.state.params, self.state.batch_stats,
-                                   jnp.asarray(folded))
-            logits = np.asarray(logits)[: n * nc].reshape(n, nc, -1)
+            if jax.process_count() > 1:
+                # every host computes the same full `folded` (val loader is
+                # unsharded), each host's devices evaluate only their mesh
+                # rows, and the global logits are gathered back to every host
+                from jax.experimental import multihost_utils
+                garr = jax.make_array_from_callback(
+                    folded.shape, batch_sharding(self.mesh),
+                    lambda idx: folded[idx])
+                logits = self.eval_fwd(self.state.params,
+                                       self.state.batch_stats, garr)
+                logits = np.asarray(
+                    multihost_utils.process_allgather(logits, tiled=True))
+            else:
+                logits = np.asarray(self.eval_fwd(
+                    self.state.params, self.state.batch_stats,
+                    jnp.asarray(folded)))
+            logits = logits[: n * nc].reshape(n, nc, -1)
             avg = np.asarray(average_clip(jnp.asarray(logits),
                                           self.average_clips))
             scores.append(avg)

@@ -38,14 +38,23 @@ def make_multihost_mesh(n_graph: int = 1) -> Mesh:
     Call after jax.distributed.initialize(); falls back to :func:`make_mesh`
     on a single process.
     """
-    import jax.experimental.mesh_utils as mesh_utils
     if jax.process_count() == 1:
         return make_mesh(n_graph=n_graph)
-    total = len(jax.devices())
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(total // jax.process_count() // n_graph, n_graph),
-        dcn_mesh_shape=(jax.process_count(), 1),
-    )
+    devs = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devs})
+    if n_slices == jax.process_count():
+        import jax.experimental.mesh_utils as mesh_utils
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(len(devs) // jax.process_count() // n_graph, n_graph),
+            dcn_mesh_shape=(jax.process_count(), 1),
+        )
+    else:
+        # no per-process slice topology (CPU hosts, forced-host meshes, or
+        # several processes per slice): hand-build the same layout — hosts
+        # contiguous along the outer (DCN) level of the data axis, so each
+        # host's shard stays on its devices
+        devs = sorted(devs, key=lambda d: (d.process_index, d.id))
+        devices = np.asarray(devs).reshape(-1, n_graph)
     return Mesh(devices, (DATA_AXIS, GRAPH_AXIS))
 
 
@@ -59,9 +68,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with its leading dim over the data axis."""
+    """Device-put a host batch with its leading dim over the data axis.
+
+    Multi-process: each host's loader yields its own (disjoint) shard of the
+    global batch — assemble the global array from the per-process pieces, so
+    the gradient psum inside the step reduces over hosts exactly like NCCL
+    all-reduce does for the reference's per-rank DDP batches."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            s, x, (x.shape[0] * nproc,) + x.shape[1:])
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

@@ -65,7 +65,16 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if os.environ.get("JAX_COORDINATOR"):
         import jax
-        jax.distributed.initialize()
+        kw = {}
+        coord = os.environ["JAX_COORDINATOR"]
+        if ":" in coord:
+            # explicit "host:port" + JAX_NUM_PROCESSES/JAX_PROCESS_ID (plain
+            # multi-process launches, e.g. CPU hosts); "auto"/"1" leaves
+            # detection to jax's cluster environments (TPU pods, SLURM)
+            kw = dict(coordinator_address=coord,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
 
     from dsgcn_tpu.configs.config import Config
     from dsgcn_tpu.core.trainer import Trainer
@@ -101,8 +110,8 @@ def main():
     trainer.fit()
     if args.test_last and val_loader is not None:
         print("final:", trainer.validate())
-    if args.export_dir:
-        import jax
+    import jax
+    if args.export_dir and jax.process_index() == 0:
         from dsgcn_tpu.serving import export_recognizer
         state = jax.device_get(trainer.state)
         kp = next(iter(train_loader.epoch(0)))["keypoint"]
@@ -117,6 +126,7 @@ def main():
         print(f"exported serving artifact -> {args.export_dir} "
               f"(poly={manifest['polymorphic_batch']}, "
               f"{manifest['num_params']} params)")
+    return trainer
 
 
 if __name__ == "__main__":
