@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import Loader
+from ..data.dataset import Loader, prefetch
 from ..models.recognizer import average_clip
 from ..parallel.mesh import (batch_sharding, make_multihost_mesh, replicate,
                              shard_batch)
@@ -61,7 +61,7 @@ class Trainer:
                  eval_interval: int = 1,
                  eval_metrics: Sequence[str] = ("top_k_accuracy",),
                  average_clips: str = "prob", input_shape=None,
-                 paramwise_cfg=None):
+                 paramwise_cfg=None, prefetch_depth: int = 2):
         self.model = model
         self.work_dir = work_dir
         self.train_loader = train_loader
@@ -72,6 +72,7 @@ class Trainer:
         self.eval_interval = eval_interval
         self.eval_metrics = list(eval_metrics)
         self.average_clips = average_clips
+        self.prefetch_depth = prefetch_depth
         self.mesh = mesh if mesh is not None else make_multihost_mesh()
         self.is_main = jax.process_index() == 0
         self.logger = JsonlLogger(work_dir, enabled=self.is_main)
@@ -115,15 +116,24 @@ class Trainer:
             kp = kp[:, 0]   # (N, nc=1, M, T, V, C) -> (N, M, T, V, C)
         return {key: kp, "label": batch["label"]}
 
+    def _device_batches(self, epoch: int):
+        """Host pipeline -> device batches, prefetched ``prefetch_depth``
+        ahead so pipeline map + device_put of step N+1 overlap the device's
+        execution of step N (dispatch is async)."""
+
+        def to_device(batch):
+            batch = self._squeeze_clip(batch)
+            n = batch["keypoint"].shape[0]
+            return n, shard_batch(batch, self.mesh)
+
+        return prefetch(self.train_loader.epoch(epoch), to_device,
+                        depth=self.prefetch_depth)
+
     def fit(self):
         for epoch in range(self.start_epoch, self.total_epochs):
             t_ep = time.time()
             n_seen = 0
-            for it, batch in enumerate(self.train_loader.epoch(epoch)):
-                batch = self._squeeze_clip(batch)
-                n = batch["keypoint"].shape[0]
-                batch = shard_batch(
-                    jax.tree.map(jnp.asarray, batch), self.mesh)
+            for it, (n, batch) in enumerate(self._device_batches(epoch)):
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 n_seen += n
@@ -159,7 +169,8 @@ class Trainer:
     def validate(self) -> Dict[str, float]:
         scores, labels = [], []
         n_data = self.mesh.shape["data"]
-        for batch in self.val_loader.epoch(0):
+        for batch in prefetch(self.val_loader.epoch(0),
+                              depth=self.prefetch_depth):
             kp = batch["keypoint"]          # (N, nc, M, T, V, C)
             n, nc = kp.shape[:2]
             folded = kp.reshape((n * nc,) + kp.shape[2:])

@@ -293,6 +293,53 @@ class Loader:
             yield _collate(samples)
 
 
+def prefetch(iterable, fn=None, depth: int = 2):
+    """Pipeline an iterator through a background thread.
+
+    TPU input-pipeline overlap: while the device executes step N, the
+    background thread runs the host-side work for step N+1 — the numpy
+    pipeline map (``Loader.epoch``) and the ``device_put``/sharding in ``fn``
+    — up to ``depth`` batches ahead.  JAX dispatch is async, so with the
+    producer keeping the queue non-empty the accelerator never waits on the
+    host between steps (the reference gets this from torch DataLoader's
+    worker processes + pin_memory; here one thread suffices because the
+    per-sample map already fans out over ``Loader``'s pool).
+
+    Exceptions in the producer re-raise at the consuming ``next()`` call.
+    ``depth=0`` degrades to plain in-line mapping (no thread).
+    """
+    if depth <= 0:
+        for item in iterable:
+            yield fn(item) if fn is not None else item
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    failure: List[BaseException] = []
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(fn(item) if fn is not None else item)
+        except BaseException as e:   # noqa: BLE001 — re-raised in consumer
+            failure.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if failure:
+                raise failure[0]
+            return
+        yield item
+
+
 def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
     out = {}
     for k in samples[0]:

@@ -43,7 +43,7 @@ def main():
     from dsgcn_tpu.core.checkpoint import CheckpointManager
     from dsgcn_tpu.core.metrics import evaluate
     from dsgcn_tpu.core.train import TrainState, init_model, make_optimizer
-    from dsgcn_tpu.data.dataset import Loader, build_dataset
+    from dsgcn_tpu.data.dataset import Loader, build_dataset, prefetch
     from dsgcn_tpu.models.builder import build_model
     from dsgcn_tpu.models.recognizer import average_clip
     from dsgcn_tpu.parallel.mesh import make_mesh, replicate
@@ -79,7 +79,7 @@ def main():
     n_data = mesh.shape["data"]
 
     scores, labels = [], []
-    for batch in loader.epoch(0):
+    for batch in prefetch(loader.epoch(0), depth=2):
         kp = batch[key]
         n, nc = kp.shape[:2]
         folded = kp.reshape((n * nc,) + kp.shape[2:])

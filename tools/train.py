@@ -104,6 +104,7 @@ def main():
         eval_interval=cfg.get("evaluation", {}).get("interval", 1),
         eval_metrics=cfg.get("evaluation", {}).get(
             "metrics", ["top_k_accuracy"]),
+        prefetch_depth=cfg.get("data", {}).get("prefetch_depth", 2),
     )
     if not args.no_auto_resume:
         trainer.resume_if_possible()
