@@ -105,7 +105,7 @@ def main():
     results = {}
     sat_batch = {"dgstgcn": 512, "dsgcn": 1024}
     models = {}
-    for name in ("dgstgcn", "dsgcn"):
+    def bench_one(name):
         # Pallas fused dynamic-graph kernel is the default on TPU
         model = build_named_model(name, num_classes=60)
         # jit the init: eager init dispatches each op over the remote tunnel
@@ -130,23 +130,27 @@ def main():
                 results[f"{name}_infer_fps_b16_hostloop"]
         sb = sat_batch[name]
         _mark(f"{name}: infer b{sb}")
-        dt = _bench_scalar(fwd, (variables, x1k[:sb]), iters=4)
-        results[f"{name}_infer_fps_b{sb}"] = sb / dt
-        # methodology cross-check: at saturated batch the device-loop and
-        # host-loop numbers must agree (compute >> per-dispatch overhead)
-        _mark(f"{name}: infer b{sb} (device loop)")
         try:
-            dt_dev = _bench_device_loop(eapply, variables, x1k[:sb], iters=8)
-            results[f"{name}_deviceloop_check_b{sb}"] = dt / dt_dev
-        except Exception as e:
-            _mark(f"{name}: device loop failed ({e!r})")
+            dt = _bench_scalar(fwd, (variables, x1k[:sb]), iters=4)
+            results[f"{name}_infer_fps_b{sb}"] = sb / dt
+            # methodology cross-check: at saturated batch the device-loop and
+            # host-loop numbers must agree (compute >> per-dispatch overhead)
+            _mark(f"{name}: infer b{sb} (device loop)")
+            try:
+                dt_dev = _bench_device_loop(eapply, variables, x1k[:sb],
+                                            iters=8)
+                results[f"{name}_deviceloop_check_b{sb}"] = dt / dt_dev
+            except Exception as e:
+                _mark(f"{name}: device loop failed ({e!r})")
 
-        # achieved rate + MFU from XLA's own FLOP count of the compiled fwd
-        comp = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)) \
-            .lower(variables, x1k[:sb]).compile()
-        flops = float(comp.cost_analysis().get("flops", 0.0))
-        results[f"{name}_infer_tflops"] = flops / dt / 1e12
-        results[f"{name}_infer_mfu_pct"] = 100.0 * flops / dt / peak
+            # achieved rate + MFU from XLA's FLOP count of the compiled fwd
+            comp = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)) \
+                .lower(variables, x1k[:sb]).compile()
+            flops = float(comp.cost_analysis().get("flops", 0.0))
+            results[f"{name}_infer_tflops"] = flops / dt / 1e12
+            results[f"{name}_infer_mfu_pct"] = 100.0 * flops / dt / peak
+        except Exception as e:   # keep the b16 headline if saturation flakes
+            _mark(f"{name}: saturated infer failed ({e!r})")
 
         # training throughput (clips/s/chip): b64 (round-1 comparable) and
         # saturated batch.  The Pallas backward keeps the (N,K,Cm,V,V) graph
@@ -155,66 +159,96 @@ def main():
         # saturated row additionally remats each backbone block (inputs-only
         # residency, ~3 GB) — the production large-batch training config.
         from dsgcn_tpu.models.builder import build_model, model_cfg
-        cfg_r = model_cfg(name, num_classes=60)
-        cfg_r["backbone"]["remat"] = True
-        model_r = build_model(cfg_r)
-        _mark(f"{name}: remat init")
-        vars_r = jax.jit(
-            lambda k, x_: model_r.init(k, x_, train=False))(
-            jax.random.PRNGKey(0), x16[:2])
-        for bs, mdl, vr in ((64, model, variables), (256, model_r, vars_r)):
+        train_rows = [(64, model, variables)]
+        try:
+            cfg_r = model_cfg(name, num_classes=60)
+            cfg_r["backbone"]["remat"] = True
+            model_r = build_model(cfg_r)
+            _mark(f"{name}: remat init")
+            vars_r = jax.jit(
+                lambda k, x_: model_r.init(k, x_, train=False))(
+                jax.random.PRNGKey(0), x16[:2])
+            train_rows.append((256, model_r, vars_r))
+        except Exception as e:
+            model_r = None
+            _mark(f"{name}: remat init failed ({e!r})")
+        for bs, mdl, vr in train_rows:
             _mark(f"{name}: train b{bs}")
-            xb = x1k[:bs]
-            params, stats = vr["params"], vr.get("batch_stats", {})
-            tx, _ = make_optimizer(lr=0.1, total_steps=100)
-            state = TrainState.create(mdl.apply, params, stats, tx)
-            tb = dict(keypoint=xb,
-                      label=jnp.asarray(rng.integers(0, 60, size=bs)))
-            step = jax.jit(train_step)
-            state, metrics = step(state, tb, jax.random.PRNGKey(0))
-            float(metrics["loss"])
-            iters = 8
-            t0 = time.perf_counter()
-            for _ in range(iters):
+            try:
+                xb = x1k[:bs]
+                params, stats = vr["params"], vr.get("batch_stats", {})
+                tx, _ = make_optimizer(lr=0.1, total_steps=100)
+                state = TrainState.create(mdl.apply, params, stats, tx)
+                tb = dict(keypoint=xb,
+                          label=jnp.asarray(rng.integers(0, 60, size=bs)))
+                step = jax.jit(train_step)
                 state, metrics = step(state, tb, jax.random.PRNGKey(0))
-            float(metrics["loss"])   # forces the whole dependent chain
-            tag = f"b{bs}" + ("_remat" if mdl is model_r else "")
-            results[f"{name}_train_clips_per_sec_{tag}"] = bs * iters / (
-                time.perf_counter() - t0)
+                float(metrics["loss"])
+                iters = 8
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    state, metrics = step(state, tb, jax.random.PRNGKey(0))
+                float(metrics["loss"])   # forces the whole dependent chain
+                tag = f"b{bs}" + ("_remat" if mdl is model_r else "")
+                results[f"{name}_train_clips_per_sec_{tag}"] = bs * iters / (
+                    time.perf_counter() - t0)
+            except Exception as e:   # keep the headline if training flakes
+                _mark(f"{name}: train b{bs} failed ({e!r})")
+
+    for name in ("dgstgcn", "dsgcn"):
+        try:
+            bench_one(name)
+        except Exception as e:   # one model's flake must not lose the other's
+            _mark(f"{name}: model bench failed ({e!r})")
 
     # XLA (non-Pallas) dynamic-graph path for comparison
-    model, variables = models["dsgcn"]
-    model_xla = build_named_model("dsgcn", num_classes=60, use_pallas=False)
-    fwd = jax.jit(lambda v_, x_: model_xla.apply(v_, x_, train=False).sum())
-    _mark("dsgcn: xla-path infer b1024")
-    results["dsgcn_infer_fps_b1024_xla"] = 1024 / _bench_scalar(
-        fwd, (variables, x1k), iters=3)
+    model, variables = models.get("dsgcn", (None, None))
+    try:
+        assert model is not None, "dsgcn model unavailable"
+        model_xla = build_named_model("dsgcn", num_classes=60,
+                                      use_pallas=False)
+        fwd = jax.jit(
+            lambda v_, x_: model_xla.apply(v_, x_, train=False).sum())
+        _mark("dsgcn: xla-path infer b1024")
+        results["dsgcn_infer_fps_b1024_xla"] = 1024 / _bench_scalar(
+            fwd, (variables, x1k), iters=3)
+    except Exception as e:
+        _mark(f"dsgcn: xla path failed ({e!r})")
 
     # bf16 saturated inference: params pre-cast ONCE (bf16 weights in HBM) —
     # per-call f32->bf16 casts double the weight traffic and lose to fp32
-    model_bf16 = RecognizerGCN(backbone=model.backbone, head=model.head,
-                               compute_dtype="bfloat16")
-    vb = {"params": jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables["params"]),
-        "batch_stats": variables.get("batch_stats", {})}
-    fwd = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False).sum())
-    _mark("dsgcn: bf16 infer b1024")
-    dt = _bench_scalar(fwd, (vb, x1k), iters=4)
-    results["dsgcn_infer_fps_b1024_bf16"] = 1024 / dt
-    comp = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False)) \
-        .lower(vb, x1k).compile()
-    flops = float(comp.cost_analysis().get("flops", 0.0))
-    results["dsgcn_infer_bf16_tflops"] = flops / dt / 1e12
-    results["dsgcn_infer_bf16_mfu_pct"] = 100.0 * flops / dt / peak
+    try:
+        model_bf16 = RecognizerGCN(backbone=model.backbone, head=model.head,
+                                   compute_dtype="bfloat16")
+        vb = {"params": jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables["params"]),
+            "batch_stats": variables.get("batch_stats", {})}
+        fwd = jax.jit(
+            lambda v_, x_: model_bf16.apply(v_, x_, train=False).sum())
+        _mark("dsgcn: bf16 infer b1024")
+        dt = _bench_scalar(fwd, (vb, x1k), iters=4)
+        results["dsgcn_infer_fps_b1024_bf16"] = 1024 / dt
+        comp = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False)) \
+            .lower(vb, x1k).compile()
+        flops = float(comp.cost_analysis().get("flops", 0.0))
+        results["dsgcn_infer_bf16_tflops"] = flops / dt / 1e12
+        results["dsgcn_infer_bf16_mfu_pct"] = 100.0 * flops / dt / peak
+    except Exception as e:
+        _mark(f"dsgcn: bf16 path failed ({e!r})")
 
     # edges/s of the DS-GCN dynamic-graph aggregation at saturated batch:
     # every (k, u, v) pair per (sample, person, output frame), 10 stages
-    K, Vj, T_out = 3, 25, 100
-    dt = 1024 / results["dsgcn_infer_fps_b1024"]
-    results["dsgcn_edges_per_sec"] = 1024 * m * T_out * K * Vj * Vj * 10 / dt
+    if "dsgcn_infer_fps_b1024" in results:
+        K, Vj, T_out = 3, 25, 100
+        dt = 1024 / results["dsgcn_infer_fps_b1024"]
+        results["dsgcn_edges_per_sec"] = \
+            1024 * m * T_out * K * Vj * Vj * 10 / dt
 
-    value = results["dgstgcn_infer_fps_b16"]
+    value = results.get("dgstgcn_infer_fps_b16")
+    if value is None:   # no honest headline -> fail loudly, no fake numbers
+        _mark("FATAL: headline metric missing")
+        sys.exit(1)
     baseline_2080ti = 409.0  # BASELINE.md: DGSTGCN FPS on RTX 2080Ti
     print(json.dumps({
         "metric": "dgstgcn_infer_fps_b16_T100_fp32",
