@@ -132,7 +132,11 @@ def build_model(cfg: Dict[str, Any]):
                    compute_dtype=cfg.get("compute_dtype"))
     assert typ == "RecognizerGCN"
     head = build_head(cfg["cls_head"])
-    return RecognizerGCN(backbone=backbone, head=head,
+    neck = None
+    if cfg.get("neck") is not None:
+        from .necks import build_neck
+        neck = build_neck(cfg["neck"])
+    return RecognizerGCN(backbone=backbone, head=head, neck=neck,
                          compute_dtype=cfg.get("compute_dtype"))
 
 

@@ -21,9 +21,12 @@ class GCNHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
-        assert x.ndim == 5, "expect (N, M, T, V, C)"
-        x = x.mean(axis=(2, 3))    # (N, M, C)
-        x = x.mean(axis=1)         # (N, C)
+        # already-pooled (N, C) input (e.g. from a neck readout) skips
+        # pooling, mirroring simple_head.py:68 `if len(x.shape) != 2`
+        if x.ndim != 2:
+            assert x.ndim == 5, "expect (N, M, T, V, C) or (N, C)"
+            x = x.mean(axis=(2, 3))    # (N, M, C)
+            x = x.mean(axis=1)         # (N, C)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(

@@ -1,8 +1,9 @@
 """Necks: feature readouts between backbone and head.
 
 Reference: pyskl/models/necks/Simple_neck.py:15-107 (SimpleNeck with the
-node_precost auxiliary body-part loss), greadout.py:15 (ReadoutNeck joint
-readouts).
+node_precost auxiliary body-part loss), greadout.py:15-156 (ReadoutNeck
+prototype-assignment readout), gread.py:45-158 (GlobalAttention/Set2Set
+segment readouts), pre_train.py:17-259, Causal_neck.py:16-130.
 """
 from __future__ import annotations
 
@@ -42,32 +43,162 @@ class SimpleNeck(nn.Module):
         return cross_entropy(logits, labels)
 
 
-class ReadoutNeck(nn.Module):
-    """Joint-dimension readout: mean / max / sum / attention over V
-    (reference greadout.py:15)."""
+class SemanticNeck(nn.Module):
+    """Person-validity-weighted pooling (reference Simple_neck.py:110-190):
+    GCN mode pools (T, V) then averages persons weighted by ``index``
+    (per-person scalar weights, Simple_neck.py:187) instead of a plain mean.
+
+    The reference's dispatch is dead code — recognizergcn.py:33 compares the
+    built *module* to the string 'SemanticNeck', which is always False, so
+    upstream never actually routes through it.  Here ``index=None`` derives
+    the weights the way that dead branch would have
+    (``x.sum(-1).sum(-1).sum(-1)``, recognizergcn.py:34), making the neck
+    usable as a drop-in readout.
+    """
     in_channels: int
-    mode: str = "mean"    # mean | max | sum | attention
+    dropout: float = 0.5
+    mode: str = "GCN"
 
     @nn.compact
+    def __call__(self, x: Array, index: Array = None, *,
+                 train: bool) -> Array:
+        if x.ndim == 2:
+            return x
+        if self.mode == "GCN":
+            # ours: (N, M, T, V, C); reference: (N, M, C, T, V)
+            if index is None:
+                index = x.sum(axis=(2, 3, 4))          # (N, M)
+            pooled = x.mean(axis=(2, 3))               # (N, M, C)
+            w = index[..., None]
+            return (pooled * w).sum(axis=1) / index.sum(axis=1, keepdims=True)
+        # 3D / 2D modes: plain global pooling (index unused upstream too)
+        return x.mean(axis=tuple(range(1, x.ndim - 1)))
+
+
+class Set2Set(nn.Module):
+    """Set2Set segment readout (reference necks/gread.py:99-158, the
+    "Order Matters" iterative content-based attention): ``processing_steps``
+    rounds of (LSTM query -> per-segment softmax attention -> readout),
+    output is ``[q, r]`` with 2x the input channels.  The LSTM matches torch
+    ``nn.LSTM(2C, C, 1)`` exactly: gate order (i, f, g, o), two bias vectors,
+    U(+-1/sqrt(C)) init."""
+    in_channels: int
+    processing_steps: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, seg: Array, num_segments: int) -> Array:
+        c = self.in_channels
+        bound = 1.0 / np.sqrt(c)
+
+        def unif(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w_ih = self.param("w_ih", unif, (4 * c, 2 * c))
+        w_hh = self.param("w_hh", unif, (4 * c, c))
+        b_ih = self.param("b_ih", unif, (4 * c,))
+        b_hh = self.param("b_hh", unif, (4 * c,))
+
+        h = jnp.zeros((num_segments, c), x.dtype)
+        cell = jnp.zeros((num_segments, c), x.dtype)
+        q_star = jnp.zeros((num_segments, 2 * c), x.dtype)
+        for _ in range(self.processing_steps):
+            gates = q_star @ w_ih.T + b_ih + h @ w_hh.T + b_hh
+            gi, gf, gg, go = jnp.split(gates, 4, axis=1)
+            cell = jax.nn.sigmoid(gf) * cell \
+                + jax.nn.sigmoid(gi) * jnp.tanh(gg)
+            h = jax.nn.sigmoid(go) * jnp.tanh(cell)
+            e = (x * h[seg]).sum(axis=1)
+            a = _segment_softmax(e, seg, num_segments)
+            r = jax.ops.segment_sum(a[:, None] * x, seg, num_segments)
+            q_star = jnp.concatenate([h, r], axis=1)
+        return q_star
+
+
+class ReadoutNeck(nn.Module):
+    """Prototype-assignment readout (reference necks/greadout.py:15-156):
+    every (sample, frame, joint) row — person-meaned — is assigned to its
+    nearest of ``num_position`` prototypes by cosine distance, each
+    (sample, prototype) segment is pooled with ``read_op`` (sum / mean /
+    max / attention / set2set; set2set doubles C), and positions are then
+    averaged per sample.  ``get_aligncost`` is the soft-min assignment
+    distance accumulated per (sample, prototype) and normalized by occupancy
+    (greadout.py:122-148).  Faithful quirk: the reference constructor stores
+    a dropout ratio the forward never applies — reproduced."""
+    in_channels: int
+    num_position: int = 25
+    read_op: str = "mean"    # sum | mean | max | attention | set2set
+    gamma: float = 0.1
+    dropout: float = 0.5
+
+    def setup(self):
+        from ..ops.common import torch_default_kernel, torch_default_bias
+        self.protos = self.param("protos", nn.initializers.xavier_normal(),
+                                 (self.num_position, self.in_channels))
+        if self.read_op == "attention":
+            self.gate = nn.Dense(
+                1, kernel_init=torch_default_kernel(),
+                bias_init=torch_default_bias(self.in_channels), name="gate")
+        elif self.read_op == "set2set":
+            self.s2s = Set2Set(self.in_channels, name="set2set")
+        elif self.read_op not in ("sum", "mean", "max"):
+            raise ValueError(self.read_op)
+
+    def _gread(self, x, seg, num_segments):
+        if self.read_op == "sum":
+            return jax.ops.segment_sum(x, seg, num_segments)
+        if self.read_op == "mean":
+            s = jax.ops.segment_sum(x, seg, num_segments)
+            cnt = jax.ops.segment_sum(jnp.ones(x.shape[0]), seg, num_segments)
+            return s / jnp.maximum(cnt, 1.0)[:, None]
+        if self.read_op == "max":
+            m = jax.ops.segment_max(x, seg, num_segments)
+            return jnp.where(jnp.isfinite(m), m, 0.0)
+        if self.read_op == "attention":
+            w = _segment_softmax(self.gate(x)[:, 0], seg, num_segments)
+            return jax.ops.segment_sum(x * w[:, None], seg, num_segments)
+        return self.s2s(x, seg, num_segments)
+
+    def _distance(self, rows: Array) -> Array:
+        """1 - cosine similarity to every prototype (greadout.py:118).
+        torch.cosine_similarity clamps EACH norm to eps=1e-8 separately
+        (normalize-then-dot), not the product — verified on the installed
+        torch."""
+        eps = 1e-8
+        rn = rows / jnp.maximum(
+            jnp.linalg.norm(rows, axis=1, keepdims=True), eps)
+        pn = self.protos / jnp.maximum(
+            jnp.linalg.norm(self.protos, axis=1, keepdims=True), eps)
+        return 1.0 - rn @ pn.T
+
+    def _rows(self, x: Array):
+        n, m, t, v, c = x.shape
+        rows = x.mean(axis=1).reshape(n * t * v, c)   # (t, v) row order
+        batch = jnp.repeat(jnp.arange(n), t * v)
+        return rows, batch, n
+
     def __call__(self, x: Array, *, train: bool) -> Array:
-        # (N, M, T, V, C): pool T first, read out V, then persons
-        x = x.mean(axis=2)                       # (N, M, V, C)
-        if self.mode == "mean":
-            x = x.mean(axis=2)
-        elif self.mode == "max":
-            x = x.max(axis=2)
-        elif self.mode == "sum":
-            x = x.sum(axis=2)
-        elif self.mode == "attention":
-            gate = nn.Dense(1, name="att_gate")(x)          # (N, M, V, 1)
-            w = jax.nn.softmax(gate, axis=2)
-            x = (x * w).sum(axis=2)
+        rows, batch, n = self._rows(x)
+        d = self._distance(rows)
+        seg = self.num_position * batch + jnp.argmin(d, axis=1)
+        pooled = self._gread(rows, seg, self.num_position * n)
+        return pooled.reshape(n, self.num_position, -1).mean(axis=1)
+
+    def get_aligncost(self, x: Array) -> Array:
+        """Soft-min prototype distance per row, accumulated per
+        (sample, prototype) and divided by that cell's occupancy
+        (greadout.py:122-148)."""
+        rows, batch, n = self._rows(x)
+        d = self._distance(rows)
+        onehot = jax.nn.one_hot(jnp.argmin(d, axis=1), self.num_position,
+                                dtype=rows.dtype)
+        counts = jax.ops.segment_sum(onehot, batch, n)        # (N, P)
+        if self.gamma == 0:
+            dmin = d.min(axis=1)
         else:
-            raise ValueError(self.mode)
-        return x.mean(axis=1)                    # (N, C)
-
-
-NECKS = {"SimpleNeck": SimpleNeck, "ReadoutNeck": ReadoutNeck}
+            dmin = -self.gamma * jnp.log(
+                jnp.exp(-d / self.gamma).sum(axis=1) + 1e-12)
+        d_loss = jax.ops.segment_sum(dmin[:, None] * onehot, batch, n)
+        return jnp.mean(d_loss / (counts + 1e-12))
 
 
 def build_neck(cfg):
@@ -217,6 +348,11 @@ class PretrainNeck(nn.Module):
             for i in range(self.num_hierarchy)]
         if self.read_op == "attention":
             self.gate = nn.Dense(1, name="gate")
+        elif self.read_op == "set2set":
+            # pre_train.py:73-74; like the reference, only usable with
+            # num_hierarchy == 1 (set2set doubles C, the next level's
+            # attention query is still C-dim -> upstream crashes too)
+            self.s2s = Set2Set(self.in_channels, name="set2set")
         self.fc_cls = nn.Dense(5, kernel_init=nn.initializers.normal(0.01),
                                name="fc_cls")
 
@@ -233,6 +369,8 @@ class PretrainNeck(nn.Module):
         if self.read_op == "attention":
             w = _segment_softmax(self.gate(x)[:, 0], seg, num_segments)
             return jax.ops.segment_sum(x * w[:, None], seg, num_segments)
+        if self.read_op == "set2set":
+            return self.s2s(x, seg, num_segments)
         raise ValueError(self.read_op)
 
     def _assign(self, x, level):
@@ -327,3 +465,10 @@ class PretrainNeck(nn.Module):
         pos = (sim * eye).sum(axis=0)
         neg = (sim * (1 - eye)).sum(axis=0)
         return -jnp.log(pos / (pos + neg + 1e-6) + 1e-12).mean()
+
+
+# config-buildable necks (reference necks/__init__.py; CausalNeck returns a
+# (pooled, feature) tuple consumed by the GC flow, so it is composed by
+# core/flows.py rather than dropped into RecognizerGCN)
+NECKS = {"SimpleNeck": SimpleNeck, "SemanticNeck": SemanticNeck,
+         "ReadoutNeck": ReadoutNeck, "PretrainNeck": PretrainNeck}

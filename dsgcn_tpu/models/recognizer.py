@@ -23,12 +23,18 @@ class RecognizerGCN(nn.Module):
     """
     backbone: nn.Module
     head: nn.Module
+    neck: Optional[nn.Module] = None      # readout between backbone and head
     compute_dtype: Optional[str] = None   # e.g. 'bfloat16' for MXU-rate matmuls
 
     def __call__(self, keypoint: Array, *, train: bool) -> Array:
         if self.compute_dtype is not None:
             keypoint = keypoint.astype(self.compute_dtype)
         feat = self.backbone(keypoint, train=train)
+        if self.neck is not None:
+            # x = self.neck(x) before the head, as in the reference's
+            # neck-bearing recognizers (recognizergcnR.py:30-31,
+            # Recognizergcn_gc.py:37-39); the head sees the pooled (N, C)
+            feat = self.neck(feat, train=train)
         logits = self.head(feat, train=train)
         if self.compute_dtype is not None:
             logits = logits.astype(jnp.float32)

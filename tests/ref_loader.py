@@ -415,8 +415,32 @@ def load_ref_necks():
             return out
         raise NotImplementedError(reduce)
 
+    def scatter_max(src, index, dim=0, dim_size=None):
+        import torch
+        size = int(index.max().item() + 1) if dim_size is None else dim_size
+        shape = list(src.shape)
+        shape[dim] = size
+        out = torch.full(shape, float("-inf"), dtype=src.dtype)
+        out = out.index_reduce_(dim, index, src, "amax", include_self=True)
+        return out, None   # gread.softmax only uses [0]
+
+    def tg_reset(nn):
+        # torch_geometric.nn.inits.reset: recursively re-init children
+        if nn is None:
+            return
+        if hasattr(nn, "children") and len(list(nn.children())) > 0:
+            for item in nn.children():
+                tg_reset(item)
+        elif hasattr(nn, "reset_parameters"):
+            nn.reset_parameters()
+
+    _ensure_stub_module("torch_geometric.nn.inits", reset=tg_reset)
+    _ensure_stub_module(
+        "torch_geometric.utils.num_nodes",
+        maybe_num_nodes=lambda index, num_nodes=None:
+            int(index.max().item()) + 1 if num_nodes is None else num_nodes)
     _ensure_stub_module("torch_scatter", scatter_add=scatter_add,
-                        scatter=scatter)
+                        scatter=scatter, scatter_max=scatter_max)
     _ensure_stub_module("scipy.spatial")
     builder = sys.modules["refpyskl.models.builder"]
     if not hasattr(builder, "NECKS"):
@@ -431,7 +455,10 @@ def load_ref_necks():
     # pre_train imports the real torch_geometric-free gread module
     _ensure_stub_module("xml.dom", HierarchyRequestErr=Exception)
     pre = importlib.import_module("refpyskl.models.necks.pre_train")
-    return dict(causal=causal, pre_train=pre,
+    gread = importlib.import_module("refpyskl.models.necks.greadout")
+    simple = importlib.import_module("refpyskl.models.necks.Simple_neck")
+    return dict(causal=causal, pre_train=pre, greadout=gread,
+                simple=simple,
                 causalnn=importlib.import_module(
                     "refpyskl.models.necks.causalnn"))
 
