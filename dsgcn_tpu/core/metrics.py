@@ -92,6 +92,19 @@ def mean_average_precision(scores, labels) -> float:
     return float(np.mean(results)) if results else np.nan
 
 
+def per_class_graph(results, labels) -> List[np.ndarray]:
+    """Per-class mean of extracted graph/adjacency tensors — the 'graph'
+    eval metric (reference datasets/base.py:212-221; results are dynamic
+    adjacencies harvested via feature hooks).
+
+    Faithful quirk: the reference iterates ``range(max(label))``, which
+    SKIPS the highest class id — reproduced (base.py:216).
+    """
+    labels = np.asarray(labels)
+    results = np.asarray(results)
+    return [results[labels == i].mean(axis=0) for i in range(labels.max())]
+
+
 METRICS = {
     "top_k_accuracy": lambda s, l: dict(zip(
         ("top1_acc", "top5_acc"), top_k_accuracy(s, l, (1, 5)))),
@@ -99,7 +112,18 @@ METRICS = {
         "mean_class_accuracy": mean_class_accuracy(s, l)[0]},
     "mean_average_precision": lambda s, l: {
         "mean_average_precision": mean_average_precision(s, l)},
+    # feature-space metrics: 'results' are features / graph tensors rather
+    # than class scores (reference base.py:198-221)
+    "graph": lambda s, l: {"graph": per_class_graph(s, l)},
 }
+
+
+def _tsne_metric(s, l):
+    from ..utils.analysis import tsne_map
+    return {"TSNEmap": tsne_map(np.asarray(s)), "labels": np.asarray(l)}
+
+
+METRICS["TSNEmap"] = _tsne_metric
 
 
 def evaluate(scores, labels, metrics: Sequence[str] = ("top_k_accuracy",)):

@@ -38,6 +38,31 @@ def extract_features(model, variables, keypoint, filter_fn=None):
     return logits, state["intermediates"]
 
 
+def find_anomalous_params(grads, atol: float = 0.0):
+    """Parameters not contributing to the loss (TPU-native analog of
+    reference detect_anomalous_parameters, core/hooks/optimizer.py:55-79).
+
+    The reference walks the autograd graph for params missing from it; under
+    jax.grad every param gets a cotangent, so the equivalent signal is an
+    all-zero gradient leaf: truly disconnected params have exactly-zero
+    grads.  Returns ['path/to/leaf', ...] with |g| <= atol everywhere.
+    Zero-init'd-but-connected params can transiently zero out on a single
+    batch; check across a few batches before acting.
+    """
+    bad = []
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        else:
+            if np.all(np.abs(np.asarray(tree)) <= atol):
+                bad.append("/".join(path))
+
+    walk(grads, ())
+    return bad
+
+
 # ---------------------------------------------------------------------------
 # embedding maps (reference core/evaluation.py:197-201 TSNEmap via sklearn;
 # sklearn is absent here, so this is a self-contained exact t-SNE)

@@ -61,3 +61,14 @@ total_epochs = 2
     r = _run(["tools/fuse_scores.py", str(out), str(out),
               "--weights", "1", "1"], ROOT)
     assert "top1_acc" in r.stdout
+
+    # feature-extraction mode (reference single_gpu_test_feature +
+    # test_cfg feat_ext): pooled f16 features + feature-space metrics
+    fout = tmp_path / "feats.pkl"
+    r = _run(["tools/test.py", str(cfg), str(wd), "--feat-ext",
+              "--out", str(fout), "--metrics", "TSNEmap", "graph"], ROOT)
+    assert "TSNEmap: embedding" in r.stdout and "graph:" in r.stdout
+    with open(fout, "rb") as f:
+        d = pickle.load(f)
+    assert d["features"].dtype == np.float16
+    assert d["features"].shape[0] == len(d["labels"])

@@ -111,3 +111,61 @@ def test_tsne_map_separates_clusters():
     np.fill_diagonal(d, np.inf)
     purity = (lab[np.argmin(d, 1)] == lab).mean()
     assert purity > 0.95, purity
+
+
+def test_per_class_graph_matches_reference_indexing():
+    """'graph' eval metric vs a transcription of the reference torch code
+    (datasets/base.py:212-221) incl. the range(max(label)) last-class skip."""
+    from dsgcn_tpu.core.metrics import evaluate, per_class_graph
+    rng = np.random.default_rng(5)
+    results = rng.standard_normal((30, 3, 5, 5)).astype(np.float32)
+    labels = rng.integers(0, 4, 30)          # classes 0..3; 3 must be skipped
+
+    import torch
+    res_t = torch.tensor(results)
+    lab = np.asarray(labels)
+    want = []
+    for i in range(max(labels)):             # reference loop verbatim
+        index = np.where(lab == i)
+        want.append(res_t[index, :, :, :].mean(1).mean(0).numpy())
+
+    got = per_class_graph(results, labels)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+    out = evaluate(results, labels, metrics=("graph",))
+    assert len(out["graph"]) == 3
+
+
+def test_tsne_metric_dispatch():
+    from dsgcn_tpu.core.metrics import evaluate
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((60, 8))
+    l = np.repeat(np.arange(3), 20)
+    out = evaluate(s, l, metrics=("TSNEmap",))
+    assert out["TSNEmap"].shape == (60, 2)
+    assert (out["labels"] == l).all()
+
+
+def test_find_anomalous_params():
+    """Zero-grad param detection (detect_anomalous_parameters analog,
+    core/hooks/optimizer.py:55-79): a head that ignores one branch leaves
+    that branch's params with exactly-zero grads."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from dsgcn_tpu.utils.analysis import find_anomalous_params
+
+    class TwoBranch(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            used = nn.Dense(4, name="used")(x)
+            nn.Dense(4, name="unused")(x)     # traced but not in the loss
+            return used.sum()
+
+    m = TwoBranch()
+    x = jnp.ones((2, 3))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    grads = jax.grad(lambda p: m.apply({"params": p}, x))(params)
+    bad = find_anomalous_params(grads)
+    assert sorted(bad) == ["unused/bias", "unused/kernel"]

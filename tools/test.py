@@ -27,6 +27,17 @@ def parse_args():
                    default=["top_k_accuracy", "mean_class_accuracy"])
     p.add_argument("--average-clips", default="prob",
                    choices=["prob", "score", "none"])
+    p.add_argument("--feat-ext", action="store_true",
+                   help="dump pooled backbone features instead of scores "
+                        "(reference test_cfg feat_ext, recognizergcn.py:65)")
+    p.add_argument("--score-ext", action="store_true",
+                   help="per-location class scores before pooling "
+                        "(recognizergcn.py:86-93)")
+    p.add_argument("--pool-opt", default="nmtv",
+                   help="subset of 'nmtv' dims to mean over, or 'none' "
+                        "(the reference's pool_opt='all' alias is a no-op "
+                        "bug upstream — recognizergcn.py:74 compares with "
+                        "== — so 'all' maps to 'nmtv' here)")
     return p.parse_args()
 
 
@@ -72,6 +83,51 @@ def main():
     state, meta = ckpt.restore(template, step=args.step)
     assert state is not None, f"no checkpoint under {args.work_dir}/ckpt"
     print(f"loaded step={int(state.step)} meta={meta}")
+
+    if args.feat_ext or args.score_ext:
+        # feature harvest (reference single_gpu_test_feature,
+        # core/engine/test.py:20-89 + recognizergcn.py:62-93): pooled
+        # backbone features (or per-location class scores) per clip,
+        # dumped f16 like the reference (:93) and usable with the
+        # feature-space metrics ('TSNEmap', 'graph').
+        from dsgcn_tpu.models.recognizer import extract_pooled_feat
+        pool_opt = "nmtv" if args.pool_opt == "all" else args.pool_opt
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        feats, labels = [], []
+        # the reference runs one video at a time (bs==1 assert,
+        # recognizergcn.py:69) so its 'n' pool dim means "over the video's
+        # nc clips"; here the folded (n*nc) rows are pooled per clip and
+        # the clip axis is averaged when 'n' is requested
+        per_clip = "".join(d for d in pool_opt if d != "n") \
+            if pool_opt != "none" else "none"
+        for batch in prefetch(loader.epoch(0), depth=2):
+            kp = batch[key]
+            n, nc = kp.shape[:2]
+            folded = kp.reshape((n * nc,) + kp.shape[2:])
+            f = extract_pooled_feat(model, variables, jnp.asarray(folded),
+                                    pool_opt=per_clip or "none",
+                                    score_ext=args.score_ext)
+            f = np.asarray(f, np.float32).reshape((n, nc) + f.shape[1:])
+            if pool_opt != "none" and "n" in pool_opt:
+                f = f.mean(axis=1)
+            feats.append(f.astype(np.float16))   # f16 dump, recognizergcn:93
+            labels.extend(batch["label"].tolist())
+        feats = np.concatenate(feats, axis=0)
+        if args.out:
+            with open(args.out, "wb") as fh:
+                pickle.dump(dict(features=feats, labels=labels), fh)
+            print(f"dumped features {feats.shape} -> {args.out}")
+        lab = np.asarray(labels)
+        if "TSNEmap" in args.metrics:
+            emb = evaluate(feats.reshape(len(feats), -1).astype(np.float32),
+                           lab, ("TSNEmap",))["TSNEmap"]
+            print(f"TSNEmap: embedding {emb.shape}")
+        if "graph" in args.metrics:
+            per_cls = evaluate(feats.astype(np.float32), lab,
+                               ("graph",))["graph"]
+            print(f"graph: {len(per_cls)} per-class means "
+                  f"of shape {per_cls[0].shape}")
+        return
 
     mesh = make_mesh()
     state = replicate(state, mesh)   # restored arrays live on one device
