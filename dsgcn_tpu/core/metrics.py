@@ -115,6 +115,8 @@ METRICS = {
     # feature-space metrics: 'results' are features / graph tensors rather
     # than class scores (reference base.py:198-221)
     "graph": lambda s, l: {"graph": per_class_graph(s, l)},
+    "confusion_matrix": lambda s, l: {
+        "confusion_matrix": mean_class_accuracy(s, l)[1]},
 }
 
 
@@ -127,8 +129,20 @@ METRICS["TSNEmap"] = _tsne_metric
 
 
 def evaluate(scores, labels, metrics: Sequence[str] = ("top_k_accuracy",)):
-    """Dispatch like reference BaseDataset.evaluate (datasets/base.py:111-237)."""
+    """Dispatch like reference BaseDataset.evaluate (datasets/base.py:111-237).
+
+    Multi-head results — each sample's result a list/tuple (e.g. the
+    RGBPose two-stream head) — recurse per position with ``_i``-suffixed
+    keys (base.py:140-147).
+    """
+    if isinstance(scores, (list, tuple)) and len(scores) \
+            and isinstance(scores[0], (list, tuple)):
+        out = {}
+        for i in range(len(scores[0])):
+            sub = evaluate([x[i] for x in scores], labels, metrics)
+            out.update({f"{k}_{i}": v for k, v in sub.items()})
+        return out
     out = {}
     for m in metrics:
-        out.update(METRICS[m](scores, labels))
+        out.update(METRICS[m](np.asarray(scores), labels))
     return out

@@ -169,3 +169,19 @@ def test_find_anomalous_params():
     grads = jax.grad(lambda p: m.apply({"params": p}, x))(params)
     bad = find_anomalous_params(grads)
     assert sorted(bad) == ["unused/bias", "unused/kernel"]
+
+
+def test_evaluate_multi_head_recursion():
+    """Multi-head per-sample results recurse with _i suffixes
+    (base.py:140-147), e.g. RGBPose two-stream eval."""
+    from dsgcn_tpu.core.metrics import evaluate
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 4, 20)
+    s_rgb = np.eye(4)[labels] + 0.01 * rng.standard_normal((20, 4))
+    s_pose = rng.standard_normal((20, 4))
+    results = [(s_rgb[i], s_pose[i]) for i in range(20)]
+    out = evaluate(results, labels,
+                   metrics=("top_k_accuracy", "confusion_matrix"))
+    assert out["top1_acc_0"] == 1.0
+    assert out["top1_acc_1"] < 1.0
+    assert out["confusion_matrix_0"].shape == (4, 4)

@@ -159,7 +159,10 @@ def main():
 
     res = evaluate(scores, labels, args.metrics)
     for k, v in res.items():
-        print(f"{k}: {v:.4f}")
+        if np.ndim(v) == 0:
+            print(f"{k}: {float(v):.4f}")
+        else:   # array-valued metrics (confusion_matrix, graph, TSNEmap)
+            print(f"{k}: array{np.shape(v)}")
 
 
 if __name__ == "__main__":
