@@ -1,6 +1,10 @@
 """On-chip timing of the fused eval-mode dgmstcn kernel vs the XLA module
 path at DGSTGCN stage shapes.  Run from the repo root on the real TPU; the
 result decides whether tcn_use_pallas defaults on.
+
+Inputs are generated ON DEVICE (jax.random): the stage-0 activation at
+n=2048 is 1.3 GB, and shipping that through the remote tunnel stalls the
+bench for minutes before the first compile even starts.
 """
 import sys
 sys.path.insert(0, ".")
@@ -31,10 +35,13 @@ def bench(fn, args, iters=6, reps=2):
 
 
 def run(n, T, C, stride, label):
-    x = jnp.asarray(rng.standard_normal((n, T, 25, C)).astype(np.float32))
+    t0 = time.perf_counter()
+    x = jax.jit(lambda k: jax.random.normal(k, (n, T, 25, C), jnp.float32))(
+        jax.random.PRNGKey(1))
     a = DGMSTCN(out_channels=C, stride=stride)
     b = DGMSTCN(out_channels=C, stride=stride, use_pallas=True)
-    v = jax.jit(lambda k, xx: a.init(k, xx, train=False))(jax.random.PRNGKey(0), x[:2])
+    v = jax.jit(lambda k, xx: a.init(k, xx, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((2, T, 25, C), jnp.float32))
     v = jax.tree.map(lambda p: jnp.asarray(
         (rng.standard_normal(p.shape) * 0.3
          + (1.0 if p.ndim == 1 else 0.0)).astype(np.float32)), v)
@@ -44,6 +51,8 @@ def run(n, T, C, stride, label):
     fa = jax.jit(lambda vv, xx: a.apply(vv, xx, train=False).sum())
     fb = jax.jit(lambda vv, xx: b.apply(vv, xx, train=False).sum())
     da = bench(fa, (v, x))
+    print(f"  [{label}] xla done +{time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     db = bench(fb, (v, x))
     # numeric check on-chip
     ya = jax.jit(lambda vv, xx: a.apply(vv, xx, train=False))(v, x[:16])
