@@ -185,7 +185,12 @@ def fused_dgmstcn_eval(x, w_pre, b_pre, shifts, ws, wmax, w11e, bias_all,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Tp, V, Cp), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # stage-0 (T=100, C=64) keeps ~26 MB of branch intermediates
+            # live per sample — over the 16 MB default scoped-vmem budget
+            # but well under the chip's 128 MB VMEM; the temporal halo
+            # (k=3, dil<=4) makes T-tiling non-trivial, so raise the limit
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, *consts)
 
