@@ -2,24 +2,40 @@
 
 The BASELINE accuracy target (NTU60 x-sub top-1) cannot be reproduced in this
 environment — no NTU annotation pickles exist here (documented in COVERAGE.md).
-This test is the maximal proxy the VERDICT asks for instead: the reference
-torch stack (actual pyskl modules via tests/ref_loader.py) and our jitted
-train path consume the *same* synthetic dataset, produced by our real
-pipeline, for TWO full epochs under the full pyskl recipe — SGD + nesterov
-momentum + coupled weight decay + per-iteration cosine LR decay crossing
-epochs — in float64, and must agree on:
+This test is the maximal proxy instead: the reference torch stack (actual
+pyskl modules via tests/ref_loader.py) and our jitted train path consume the
+*same* synthetic dataset, produced by our real pipeline, for TWO full epochs
+under the full pyskl recipe — SGD + nesterov momentum + coupled weight decay +
+per-iteration cosine LR decay crossing epochs (configs/_init_/lr_schedual.py:11,27)
+— in float64.  Two complementary checks:
 
-  * the per-step loss curve (1e-8 relative, growing per step),
-  * BN running statistics after training (exercises the Bessel-corrected
-    running-var update torch uses),
-  * eval-mode per-sample logits, predictions, and top-1 after each epoch.
+1. RESYNCED STRICT CHECK (the semantic guard).  Before every step the full
+   torch state — params, BN running stats, AND SGD momentum buffers + schedule
+   count — is copied into the jax TrainState; both frameworks take one step;
+   the new params / BN stats / loss must agree at near machine precision
+   (rel 1e-6 params, 1e-8 BN, observed headroom ~1e3x).  Because each step
+   starts from a bitwise-synced state there is NO chaotic accumulation: any
+   divergence is a real semantic break in forward/backward/optimizer/
+   BN-update-order/Bessel/schedule, and it is caught at the first step it
+   occurs, at every one of the 8 steps.
 
-A failure in any piece of forward/backward/optimizer/schedule/BN-drift/eval
-breaks this test, which is what "the full train->eval loop produces the same
-predictions as the reference stack on the same data" means.
+2. FREE-RUN TRAJECTORY CHECK with a MEASURED chaos envelope.  SGD + BN +
+   data-dependent dynamic graphs amplify f64 rounding chaotically, so a
+   free-running comparison needs a tolerance *model*, not a constant: we run
+   a third trajectory — torch again, with a deterministic 1e-8 relative
+   perturbation of the initial params (>= the cross-framework per-step noise
+   measured by check 1) — and use its elementwise divergence from the clean
+   torch run as the measured chaos envelope E.  The jax free run must then
+   satisfy |jax - torch| <= floor + SAFETY*E elementwise, where
+   SAFETY = 10*TOTAL_STEPS accounts for per-step (vs one-shot) noise
+   injection.  On a stable trajectory E ~ 1e-8 and the bound stays tight
+   (a missing Bessel correction, ~1.6e-4 at this batch size, cannot hide);
+   on a chaotic draw the bound grows exactly as much as the dynamics do.
+
 Reference recipe: configs/_init_/lr_schedual.py:11,27 (SGD 0.1 nesterov,
 wd 5e-4, CosineAnnealing min_lr=0), recognizergcn.py:20-51 (train loop body),
-simple_head.py:83-96 (GCN pooling head).
+simple_head.py:83-96 (GCN pooling head); BN update semantics gcn.py:94,
+epoch_based_sparse_runner.py:44-50.
 """
 import numpy as np
 import pytest
@@ -34,11 +50,12 @@ from dsgcn_tpu.data.dataset import Loader, PoseDataset, make_synthetic_pose_data
 from dsgcn_tpu.models.builder import build_named_model
 from dsgcn_tpu.utils.torch_import import import_state_dict
 
-RNG = np.random.default_rng(7)
 N_CLASSES = 5
 LR, MOM, WD = 0.05, 0.9, 5e-4
 EPOCHS, STEPS_PER_EPOCH, BATCH = 2, 4, 8
 TOTAL_STEPS = EPOCHS * STEPS_PER_EPOCH
+SAFETY = 10 * TOTAL_STEPS     # measured-envelope multiplier (see module doc)
+PERT = 1e-8                   # relative init perturbation for the chaos probe
 
 
 class TorchRecognizer(torch.nn.Module):
@@ -55,13 +72,13 @@ class TorchRecognizer(torch.nn.Module):
         return self.fc(f)
 
 
-def _pipeline_batches(tmpdir):
+def _pipeline_batches(tmpdir, seed):
     """Both frameworks consume identical arrays produced by OUR real pipeline
     (pipeline parity vs the reference transforms is tested separately in
     tests/test_transforms_parity.py)."""
     path = str(tmpdir / "synth.pkl")
     make_synthetic_pose_dataset(num_samples=48, num_classes=N_CLASSES,
-                                m=2, t=24, seed=3, path=path)
+                                m=2, t=24, seed=seed, path=path)
     train_pipe = [
         dict(type="PreNormalize3D"),
         dict(type="GenSkeFeat", dataset="nturgb+d", feats=["j"]),
@@ -102,16 +119,13 @@ def _pipeline_batches(tmpdir):
     return epochs, vb
 
 
-def test_full_epoch_train_eval_parity(tmp_path):
-    jax.config.update("jax_enable_x64", True)
-    try:
-        _run(tmp_path)
-    finally:
-        jax.config.update("jax_enable_x64", False)
-
-
-def _run(tmp_path):
+def _make_torch_model(seed):
+    # pin BOTH torch and numpy global RNGs: the reference Graph(mode='random')
+    # draws A from the unseeded global numpy RNG (graph.py:185-187), and the
+    # clean/perturbed/resync constructions must be bitwise-identical for the
+    # measured chaos envelope to be a true perturbation response
     torch.manual_seed(0)
+    np.random.seed(100 + seed)
     refbb = ref_loader.load_ref_backbones()
     ref_backbone = refbb["dgstgcn"].DGSTGCN(
         graph_cfg=dict(layout="nturgb+d", mode="random", num_filter=3,
@@ -120,97 +134,212 @@ def _run(tmp_path):
         gcn_edge_attention=True, gcn_decompose=True, gcn_subset_wise=True,
         gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn")
     tmodel = TorchRecognizer(ref_backbone).double()
+    rng = np.random.default_rng(seed)
     with torch.no_grad():   # non-zero gates so the dynamic graphs train
         for p in tmodel.backbone.parameters():
             if p.ndim == 1 and p.shape[0] == 3:
-                p.copy_(torch.tensor(RNG.uniform(-0.3, 0.3, 3)))
+                p.copy_(torch.tensor(rng.uniform(-0.3, 0.3, 3)))
+    return tmodel
 
+
+def _torch_variables(tmodel):
+    """Full torch state -> flax variables via the production importer."""
     sd = {f"backbone.{k}": v.numpy()
           for k, v in tmodel.backbone.state_dict().items()}
     sd["cls_head.fc_cls.weight"] = tmodel.fc.weight.detach().numpy()
     sd["cls_head.fc_cls.bias"] = tmodel.fc.bias.detach().numpy()
-    variables = import_state_dict(sd)
+    return import_state_dict(sd), sd
 
-    jmodel = build_named_model("dsgcn", num_classes=N_CLASSES)
-    tx, sched = make_optimizer(lr=LR, momentum=MOM, weight_decay=WD,
-                               total_steps=TOTAL_STEPS, schedule="cosine")
-    state = TrainState.create(jmodel.apply, variables["params"],
-                              variables["batch_stats"], tx)
 
-    # identical recipe on the torch side: SGD + per-iteration cosine decay
-    # (torch CosineAnnealingLR(T_max, eta_min=0) == optax cosine_decay_schedule)
+def _sync_state(tmodel, topt, state, tx, gstep):
+    """jax TrainState := full torch state (params + BN stats + momentum
+    buffers + schedule count).  Momentum buffers ride the same name-mapping
+    importer as the weights (identical shapes/layout)."""
+    variables, sd = _torch_variables(tmodel)
+    mom_sd = dict(sd)      # buffers (BN stats) pass through for layout only
+    names = {id(p): n for n, p in tmodel.named_parameters()}
+    for p in tmodel.parameters():
+        buf = topt.state.get(p, {}).get("momentum_buffer")
+        n = names[id(p)]
+        n = ("cls_head.fc_cls." + n.split(".", 1)[1] if n.startswith("fc.")
+             else n)
+        mom_sd[n] = np.zeros(tuple(p.shape)) if buf is None else buf.numpy()
+    mom_vars = import_state_dict(mom_sd)
+    new_opt = []
+    for s in tx.init(variables["params"]):
+        if "trace" in getattr(s, "_fields", ()):
+            s = s._replace(trace=mom_vars["params"])
+        if "count" in getattr(s, "_fields", ()):
+            s = s._replace(count=jnp.asarray(gstep, jnp.int32))
+        new_opt.append(s)
+    return state.replace(step=jnp.asarray(gstep, jnp.int32),
+                         params=variables["params"],
+                         batch_stats=variables["batch_stats"],
+                         opt_state=tuple(new_opt))
+
+
+def _flat(tree):
+    return {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+            jax.tree_util.tree_leaves_with_path(tree)}
+
+
+def _torch_free_run(tmodel, epochs, val_batches):
+    """Train 2 epochs, return (losses, per-epoch BN stats, per-epoch logits)."""
     topt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOM,
                            weight_decay=WD, nesterov=True)
     tsched = torch.optim.lr_scheduler.CosineAnnealingLR(
         topt, T_max=TOTAL_STEPS, eta_min=0.0)
+    losses, bn_stats, logits = [], [], []
+    for batches in epochs:
+        for x, y in batches:
+            tmodel.train()
+            out = tmodel(torch.tensor(np.ascontiguousarray(x)))
+            loss = torch.nn.functional.cross_entropy(
+                out, torch.tensor(y, dtype=torch.long))
+            topt.zero_grad()
+            loss.backward()
+            topt.step()
+            tsched.step()
+            losses.append(float(loss.detach()))
+        tmodel.eval()
+        _, sd = _torch_variables(tmodel)
+        bn_stats.append(_flat(import_state_dict(sd)["batch_stats"]))
+        ep_logits = []
+        for x, y in val_batches:
+            with torch.no_grad():
+                ep_logits.append(
+                    tmodel(torch.tensor(np.ascontiguousarray(x))).numpy())
+        logits.append(ep_logits)
+    return losses, bn_stats, logits
 
-    epochs, val_batches = _pipeline_batches(tmp_path)
+
+def _chaos_bound(desired, env):
+    """Elementwise tolerance: tight floor + measured-chaos envelope."""
+    return 1e-9 + 1e-7 * np.abs(desired) + SAFETY * env
+
+
+def _assert_within(actual, desired, env, name):
+    err = np.abs(np.asarray(actual) - np.asarray(desired))
+    bound = _chaos_bound(desired, env)
+    bad = err > bound
+    assert not bad.any(), (
+        f"{name}: {bad.sum()}/{bad.size} elements exceed the measured chaos "
+        f"bound; worst err={err.max():.3e} bound_there="
+        f"{bound.flat[np.argmax(err - bound)]:.3e}")
+
+
+@pytest.mark.parametrize("seed", [7, 19, 31])
+def test_full_epoch_train_eval_parity(tmp_path, seed):
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _run(tmp_path, seed)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _run(tmp_path, seed):
+    epochs, val_batches = _pipeline_batches(tmp_path, seed)
+
+    # ---------------- torch clean free run (the oracle trajectory) --------
+    tmodel = _make_torch_model(seed)
+    variables0, _ = _torch_variables(tmodel)       # initial state snapshot
+    t_losses, t_bn, t_logits = _torch_free_run(tmodel, epochs, val_batches)
+
+    # ---------------- torch perturbed run -> measured chaos envelope ------
+    pmodel = _make_torch_model(seed)
+    prng = np.random.default_rng(1234 + seed)
+    with torch.no_grad():
+        for p in pmodel.parameters():
+            r = np.sign(prng.standard_normal(tuple(p.shape)) + 1e-12)
+            p.mul_(torch.tensor(1.0 + PERT * r))
+    p_losses, p_bn, p_logits = _torch_free_run(pmodel, epochs, val_batches)
+    env_loss = [abs(a - b) for a, b in zip(t_losses, p_losses)]
+    env_bn = [{k: np.abs(a[k] - b[k]) for k in a}
+              for a, b in zip(t_bn, p_bn)]
+    env_logits = [[np.abs(a - b) for a, b in zip(ea, eb)]
+                  for ea, eb in zip(t_logits, p_logits)]
+
+    # ---------------- jax setup -------------------------------------------
+    jmodel = build_named_model("dsgcn", num_classes=N_CLASSES)
+    tx, sched = make_optimizer(lr=LR, momentum=MOM, weight_decay=WD,
+                               total_steps=TOTAL_STEPS, schedule="cosine")
     step = jax.jit(train_step)
     efwd = jax.jit(lambda p, s, x: jmodel.apply(
         {"params": p, "batch_stats": s}, x, train=False))
 
+    # ---------------- check 1: resynced strict per-step parity ------------
+    rmodel = _make_torch_model(seed)
+    ropt = torch.optim.SGD(rmodel.parameters(), lr=LR, momentum=MOM,
+                           weight_decay=WD, nesterov=True)
+    rsched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        ropt, T_max=TOTAL_STEPS, eta_min=0.0)
+    rstate = TrainState.create(jmodel.apply, variables0["params"],
+                               variables0["batch_stats"], tx)
+    gstep = 0
+    for batches in epochs:
+        for x, y in batches:
+            assert abs(ropt.param_groups[0]["lr"] - float(sched(gstep))) < 1e-12
+            rstate = _sync_state(rmodel, ropt, rstate, tx, gstep)
+            rmodel.train()
+            out = rmodel(torch.tensor(np.ascontiguousarray(x)))
+            loss_t = torch.nn.functional.cross_entropy(
+                out, torch.tensor(y, dtype=torch.long))
+            ropt.zero_grad()
+            loss_t.backward()
+            ropt.step()
+            rsched.step()
+            batch = dict(keypoint=jnp.asarray(x), label=jnp.asarray(y))
+            rstate, metrics = step(rstate, batch, jax.random.PRNGKey(0))
+            assert abs(float(metrics["loss"]) - float(loss_t.detach())) < \
+                1e-10 * max(1.0, abs(float(loss_t.detach()))), f"step {gstep}"
+            want, _ = _torch_variables(rmodel)
+            got_p, want_p = _flat(rstate.params), _flat(want["params"])
+            got_s, want_s = _flat(rstate.batch_stats), _flat(want["batch_stats"])
+            assert set(got_p) == set(want_p) and set(got_s) == set(want_s)
+            for k in want_p:
+                np.testing.assert_allclose(
+                    got_p[k], want_p[k], rtol=1e-6, atol=1e-12,
+                    err_msg=f"resynced step {gstep} param {k}")
+            for k in want_s:
+                np.testing.assert_allclose(
+                    got_s[k], want_s[k], rtol=1e-8, atol=1e-13,
+                    err_msg=f"resynced step {gstep} bn {k}")
+            gstep += 1
+
+    # ---------------- check 2: free run within measured chaos bound -------
+    state = TrainState.create(jmodel.apply, variables0["params"],
+                              variables0["batch_stats"], tx)
     gstep = 0
     for ep, batches in enumerate(epochs):
         for x, y in batches:
-            # schedules agree before the step
-            assert abs(topt.param_groups[0]["lr"] - float(sched(gstep))) < 1e-12
-            tmodel.train()
-            logits = tmodel(torch.tensor(np.ascontiguousarray(x)))
-            loss_t = torch.nn.functional.cross_entropy(
-                logits, torch.tensor(y, dtype=torch.long))
-            topt.zero_grad()
-            loss_t.backward()
-            topt.step()
-            tsched.step()
-
             batch = dict(keypoint=jnp.asarray(x), label=jnp.asarray(y))
             state, metrics = step(state, batch, jax.random.PRNGKey(0))
-            tol = 1e-8 * max(1.0, abs(float(loss_t))) * 10 ** gstep
-            assert abs(float(metrics["loss"]) - float(loss_t)) < tol, \
-                (gstep, float(metrics["loss"]), float(loss_t))
+            _assert_within(float(metrics["loss"]), t_losses[gstep],
+                           env_loss[gstep], f"free-run loss step {gstep}")
             gstep += 1
 
-        # ---- end-of-epoch eval parity: BN running stats + predictions ----
-        tmodel.eval()
-        t_sd = tmodel.backbone.state_dict()
-        flat = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
-                jax.tree_util.tree_leaves_with_path(state.batch_stats)}
-        n_bn = 0
-        for k, v in t_sd.items():
-            if k.endswith("running_mean") or k.endswith("running_var"):
-                n_bn += 1
-        checked = 0
-        want = import_state_dict(
-            {f"backbone.{k}": v.numpy() for k, v in t_sd.items()} |
-            {"cls_head.fc_cls.weight": tmodel.fc.weight.detach().numpy(),
-             "cls_head.fc_cls.bias": tmodel.fc.bias.detach().numpy()})
-        flat_want = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
-                     jax.tree_util.tree_leaves_with_path(want["batch_stats"])}
-        assert set(flat) == set(flat_want) and len(flat_want) == n_bn
-        # tolerance grows with trained steps, like the loss assert above:
-        # SGD + BN + data-dependent dynamic graphs amplify f64 rounding
-        # chaotically on unstable draws (observed up to ~1e-4 rel after 8
-        # steps); epoch 0 stays tight so semantic breaks (e.g. a missing
-        # Bessel correction, ~1.6e-4 at this batch size) cannot hide
-        for k in flat_want:
-            np.testing.assert_allclose(flat[k], flat_want[k],
-                                       rtol=2e-5 * 10 ** ep,
-                                       atol=1e-7 * 10 ** ep,
-                                       err_msg=f"epoch {ep} {k}")
-            checked += 1
-        assert checked > 30   # every BN in the 10-stage backbone is compared
+        flat = _flat(state.batch_stats)
+        assert set(flat) == set(t_bn[ep]) and len(flat) > 30
+        for k in t_bn[ep]:
+            _assert_within(flat[k], t_bn[ep][k], env_bn[ep][k],
+                           f"epoch {ep} bn {k}")
 
-        ours_top1 = theirs_top1 = total = 0
-        for x, y in val_batches:
-            with torch.no_grad():
-                lt = tmodel(torch.tensor(np.ascontiguousarray(x))).numpy()
+        ours_top1 = theirs_top1 = total = flips = 0
+        for bi, (x, y) in enumerate(val_batches):
+            lt, env = t_logits[ep][bi], env_logits[ep][bi]
             lo = np.asarray(efwd(state.params, state.batch_stats,
                                  jnp.asarray(x)))
-            np.testing.assert_allclose(lo, lt, rtol=1e-4 * 10 ** ep,
-                                       atol=1e-6 * 10 ** ep,
-                                       err_msg=f"epoch {ep} eval logits")
-            assert (lo.argmax(1) == lt.argmax(1)).all()
+            _assert_within(lo, lt, env, f"epoch {ep} eval logits batch {bi}")
+            # argmax may only differ where torch's own top-2 margin is
+            # inside the chaos bound (a genuine near-tie)
+            srt = np.sort(lt, axis=1)
+            margin = srt[:, -1] - srt[:, -2]
+            flip_ok = margin < 2 * _chaos_bound(np.abs(lt).max(1), env.max(1))
+            agree = lo.argmax(1) == lt.argmax(1)
+            assert (agree | flip_ok).all(), f"epoch {ep} argmax flip batch {bi}"
+            flips += int((~agree).sum())
             ours_top1 += int((lo.argmax(1) == y).sum())
             theirs_top1 += int((lt.argmax(1) == y).sum())
             total += len(y)
-        assert ours_top1 == theirs_top1, (ep, ours_top1, theirs_top1, total)
+        assert abs(ours_top1 - theirs_top1) <= flips, \
+            (ep, ours_top1, theirs_top1, total)
