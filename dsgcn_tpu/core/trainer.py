@@ -61,7 +61,8 @@ class Trainer:
                  eval_interval: int = 1,
                  eval_metrics: Sequence[str] = ("top_k_accuracy",),
                  average_clips: str = "prob", input_shape=None,
-                 paramwise_cfg=None, prefetch_depth: int = 2):
+                 paramwise_cfg=None, prefetch_depth: int = 2,
+                 n_graph: int = 1):
         self.model = model
         self.work_dir = work_dir
         self.train_loader = train_loader
@@ -73,7 +74,14 @@ class Trainer:
         self.eval_metrics = list(eval_metrics)
         self.average_clips = average_clips
         self.prefetch_depth = prefetch_depth
-        self.mesh = mesh if mesh is not None else make_multihost_mesh()
+        # n_graph > 1: 2D (data x graph) mesh — joints sharded over the inner
+        # (ICI) axis via the model's graph_axis ring collectives, batch over
+        # the outer data axis.  The model must be built with
+        # backbone.graph_axis = GRAPH_AXIS (tools/train.py sets it from the
+        # config's ``n_graph`` knob).
+        self.n_graph = n_graph
+        self.mesh = mesh if mesh is not None else \
+            make_multihost_mesh(n_graph=n_graph)
         self.is_main = jax.process_index() == 0
         self.logger = JsonlLogger(work_dir, enabled=self.is_main)
 
@@ -86,7 +94,21 @@ class Trainer:
             squeezed = "keypoint" in probe and kp.ndim == 6
             input_shape = (1,) + kp.shape[2:] if squeezed else (1,) + kp.shape[1:]
         sample = jnp.zeros(input_shape, jnp.float32)
-        params, stats = init_model(model, jax.random.PRNGKey(seed), sample)
+        if n_graph > 1:
+            # the graph-axis model touches its mesh axis even at init — run
+            # init inside shard_map (params depend only on rng/static shapes,
+            # so every shard materializes identical replicated values)
+            from jax.sharding import PartitionSpec as P
+
+            init_fn = jax.jit(jax.shard_map(
+                lambda r, s: model.init(r, s, train=False), mesh=self.mesh,
+                in_specs=(P(), P()), out_specs=P(), check_vma=False))
+            variables = init_fn(jax.random.PRNGKey(seed), sample)
+            from flax.core import FrozenDict
+            params = variables["params"]
+            stats = variables.get("batch_stats", FrozenDict())
+        else:
+            params, stats = init_model(model, jax.random.PRNGKey(seed), sample)
         tx, self.lr_sched = make_optimizer(
             lr=lr, momentum=momentum, weight_decay=weight_decay,
             total_steps=total_steps, grad_clip=grad_clip,
@@ -95,8 +117,13 @@ class Trainer:
         self.state = replicate(state, self.mesh)
         self.rng = jax.random.PRNGKey(seed)
 
-        self.train_step = make_dp_train_step(self.mesh)
-        self.eval_fwd = make_dp_eval_step(self.mesh, model.apply)
+        if n_graph > 1:
+            from ..parallel.train import make_jp_eval_step, make_jp_train_step
+            self.train_step = make_jp_train_step(self.mesh)
+            self.eval_fwd = make_jp_eval_step(self.mesh, model.apply)
+        else:
+            self.train_step = make_dp_train_step(self.mesh)
+            self.eval_fwd = make_dp_eval_step(self.mesh, model.apply)
         self.ckpt = CheckpointManager(work_dir)
         self.best = (-1.0, None)
         self.start_epoch = 0
@@ -152,7 +179,11 @@ class Trainer:
                     (epoch + 1) % self.eval_interval == 0:
                 results = self.validate()
                 self.logger.log(dict(mode="val", epoch=epoch, **results))
-                key = next(iter(results))
+                # best-ckpt metric by NAME: the reference's save_best='auto'
+                # resolves to top-1 (core/evaluation.py:11-18); fall back to
+                # the first reported metric only when no top1 key exists
+                key = next((k for k in results if "top1" in k),
+                           next(iter(results)))
                 if results[key] > self.best[0]:
                     self.best = (results[key], epoch)
                     is_best = True

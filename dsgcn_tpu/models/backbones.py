@@ -302,10 +302,10 @@ class DGBlock(nn.Module):
                        edge_type=self.edge_type, node_type=self.node_type,
                        name="gcn", **self.gcn_kwargs)(x, train=train)
         elif self.gcn_type == "dgphgcn1":
-            assert self.graph_axis is None
             y = DGPHGCN1(self.out_channels, A_init=self.A,
                          edge_type=self.edge_type, node_type=self.node_type,
-                         name="gcn", **self.gcn_kwargs)(x, train=train)
+                         name="gcn", graph_axis=self.graph_axis,
+                         **self.gcn_kwargs)(x, train=train)
         else:
             raise ValueError(f"unknown gcn type {self.gcn_type!r}")
         tcn_kwargs = dict(self.tcn_kwargs)

@@ -865,6 +865,7 @@ class DGPHGCN1(nn.Module):
     ctr_act: str = "tanh"
     use_pallas: bool = False       # fused VMEM graph-build+aggregate kernel
     pallas_interpret: bool = False
+    graph_axis: Optional[str] = None   # joint-partition mesh axis
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -889,7 +890,8 @@ class DGPHGCN1(nn.Module):
 
         if c != self.out_channels:
             r = PointConv(self.out_channels, name="down_conv")(x)
-            res = BatchNorm(name="down_bn")(r, use_running_average=not train)
+            res = BatchNorm(name="down_bn", axis_name=self.graph_axis)(
+                r, use_running_average=not train)
         else:
             res = x
 
@@ -916,8 +918,26 @@ class DGPHGCN1(nn.Module):
             pre_x = jnp.concatenate([xn, xr], axis=3)         # order: (sem?, norm) — gcn.py:2234
         else:
             p = PointConv(mid * K, name="pre_conv")(x)
-            p = BatchNorm(name="pre_bn")(p, use_running_average=not train)
+            p = BatchNorm(name="pre_bn", axis_name=self.graph_axis)(
+                p, use_running_average=not train)
             pre_x = jax.nn.relu(p).reshape(n, t, v, K, mid)
+
+        # ---- joint-partition (graph-axis) path ------------------------------
+        if self.graph_axis is not None:
+            assert (self.ctr == "T" and self.ada == "T"
+                    and not self.ada_attention
+                    and not (target_specific and decompose)
+                    and self.ctr_act == "tanh"
+                    and self.ada_act == "softmax"), \
+                "joint-partition mode supports the flagship DS-GCN form " \
+                "(ctr/ada='T', tanh/softmax, no ada_attention/target_specific)"
+            y = self._jp_aggregate(x, pre_x, A_param, alpha, beta, K, mid,
+                                   sem, norm, node_attention, edge_attention,
+                                   subset_wise)
+            y = PointConv(self.out_channels, name="post_conv")(y)
+            y = BatchNorm(name="bn", axis_name=self.graph_axis)(
+                y, use_running_average=not train)
+            return jax.nn.relu(y + res)
 
         # ---- queries/keys ---------------------------------------------------
         x1 = x2 = None
@@ -1047,6 +1067,137 @@ class DGPHGCN1(nn.Module):
         y = PointConv(self.out_channels, name="post_conv")(y)
         y = BatchNorm(name="bn")(y, use_running_average=not train)
         return jax.nn.relu(y + res)
+
+    def _jp_aggregate(self, x, pre_x, A_param, alpha, beta, K, mid, sem,
+                      norm, node_attention, edge_attention, subset_wise):
+        """Joint-partitioned DS-GCN dynamic-graph build + ring aggregation
+        (the graph-axis analog of DGGCN._jp_aggregate, extended with the
+        semantic machinery of dgphgcn1, reference gcn.py:2241-2361).
+
+        Runs inside shard_map with the joint axis sharded contiguously over
+        ``self.graph_axis`` (shard count divides V: 5 or 25 for NTU).  All
+        semantic structure stays shard-local or rides the ring:
+
+        * node-type Q/K gathers (gcn.py:2255-2259) are per-joint static
+          selections -> a dynamically-sliced one-hot over the LOCAL joints;
+        * the per-edge-class attention (gcn.py:2277-2294) is linear in the
+          diff, so it is reformulated as class projections P1/P2 of the
+          semantic queries (the same trick as the Pallas kernel) and gathered
+          with dynamically-sliced blocks of the static class-mask;
+        * queries x1 are all-gathered once (tiny (N, K, mid, V)); the large
+          pre_x value tensor never replicates — it circulates the ring while
+          each device builds only the (V_src, W_local) graph chunk it is
+          about to contract, the ppermute issued before the chunk matmul so
+          transfer overlaps compute.
+        """
+        axis = self.graph_axis
+        G = jax.lax.axis_size(axis)
+        g = jax.lax.axis_index(axis)
+        n, t, vl, _, _ = pre_x.shape
+        V = A_param.shape[-1]
+        assert vl * G == V, (vl, G, V)
+        P, E = self.num_types, self.edge_num
+        acc = accum_dtype(x.dtype)
+
+        tmp = x.mean(axis=1, keepdims=True)              # (n, 1, vl, c)
+        x1n = PointConv(norm * mid, name="conv1")(tmp).reshape(n, vl, norm, mid)
+        x2n = PointConv(norm * mid, name="conv2")(tmp).reshape(n, vl, norm, mid)
+        x1n = jnp.transpose(x1n, (0, 2, 3, 1))           # (n, norm, mid, vl)
+        x2n = jnp.transpose(x2n, (0, 2, 3, 1))
+        if sem:
+            feats = sem * mid * (P if node_attention else 1)
+            x1s = PointConv(feats, name="conv1_se")(tmp)
+            if node_attention:
+                # per-LOCAL-joint type gather: one-hot rows sliced at the
+                # shard offset (node types are compile-time constants)
+                oh = jnp.asarray(
+                    np.eye(P, dtype=np.float32)[np.asarray(self.node_type)])
+                z = jnp.zeros((), g.dtype)
+                oh_l = jax.lax.dynamic_slice(oh, (g * vl, z),
+                                             (vl, P)).astype(x.dtype)
+                a = x1s.reshape(n, vl, sem, mid, P)
+                x1s_t = jnp.einsum("nvsmp,vp->nsmv", a, oh_l)
+            else:
+                x1s_t = jnp.transpose(x1s.reshape(n, vl, sem, mid),
+                                      (0, 2, 3, 1))
+            x1 = jnp.concatenate([x1n, x1s_t], axis=1)   # (n, K, mid, vl)
+            # reference quirk: x2_sem is x1_sem too (gcn.py:2253-2254, 2272)
+            x2 = jnp.concatenate([x2n, x1s_t], axis=1)
+        else:
+            x1, x2 = x1n, x2n
+        x1f = jax.lax.all_gather(x1, axis, axis=-1, tiled=True)  # (n,K,mid,V)
+
+        # ADA graph: softmax over the FULL source axis, local target columns
+        raw = jnp.einsum("nkcv,nkcw->nkvw", x1f, x2,
+                         preferred_element_type=acc)
+        ada = jax.nn.softmax(raw, axis=-2).astype(x.dtype)   # (n, K, V, vl)
+        A_cols = jax.lax.dynamic_slice_in_dim(
+            A_param, g * vl, vl, axis=2).astype(x.dtype)     # (K, V, vl)
+
+        a_vec = _gate_vec(alpha, K, sem, norm, subset_wise).astype(x.dtype)
+        b_vec = _gate_vec(beta, K, sem, norm, subset_wise).astype(x.dtype)
+
+        use_edge = bool(edge_attention and sem)
+        # the ring builds subset j's ctr from subset j's queries; that matches
+        # the reference's concat order (gcn.py:2277-2299) exactly when the
+        # middle slice [sem:norm] (no-edge) / [norm-sem:norm] (edge) is the
+        # identity placement — always true at K=3 (sem=1, norm=2), the only
+        # decomposed form the paper/config zoo uses
+        assert not (sem and not use_edge) or sem == norm - sem, \
+            "jp decompose without edge attention needs sem == norm - sem"
+        if use_edge:
+            from .pallas.dyn_graph import edge_onehot
+            sel = jnp.asarray(edge_onehot(np.asarray(self.edge_type), E),
+                              x.dtype)                       # (E, V, V)
+            ew, eb = _ConvParams(sem * mid, E * sem * mid,
+                                 name="edge_linears")()
+            # class projections of the semantic-diff queries (subsets
+            # [norm-sem, norm), gcn.py:2279); output channel order of the
+            # reference reshape (n, V, V, sem, E, mid)
+            q1 = x1f[:, norm - sem:norm].reshape(n, sem * mid, V)
+            q2 = x2[:, norm - sem:norm].reshape(n, sem * mid, vl)
+            P1 = jnp.einsum("ncv,ce->nev", q1, ew).reshape(n, sem, E, mid, V)
+            P2 = jnp.einsum("ncw,ce->new", q2, ew).reshape(n, sem, E, mid, vl)
+            z = jnp.zeros((), g.dtype)
+            sel_cols = jax.lax.dynamic_slice(
+                sel, (z, z, g * vl), (E, V, vl))             # (E, V, vl)
+            bias_field = jnp.einsum(
+                "evw,sec->scvw", sel_cols,
+                eb.reshape(sem, E, mid).astype(x.dtype))     # (sem,mid,V,vl)
+
+        perm = [(j, (j - 1) % G) for j in range(G)]
+
+        def step(i, carry):
+            y, pre_cur = carry                   # pre_cur from shard (g+i)%G
+            src = (g + i) % G
+            x1_src = jax.lax.dynamic_slice_in_dim(x1f, src * vl, vl, axis=-1)
+            ctr = jnp.tanh(x1_src[..., :, None] - x2[..., None, :])
+            if use_edge:
+                P1_src = jax.lax.dynamic_slice_in_dim(P1, src * vl, vl,
+                                                      axis=-1)
+                z = jnp.zeros((), src.dtype)
+                sel_blk = jax.lax.dynamic_slice(
+                    sel_cols, (z, src * vl, z), (E, vl, vl))
+                bias_blk = jax.lax.dynamic_slice(
+                    bias_field, (z, z, src * vl, z), (sem, mid, vl, vl))
+                ea = (jnp.einsum("evw,nsecv->nscvw", sel_blk, P1_src)
+                      - jnp.einsum("evw,nsecw->nscvw", sel_blk, P2)
+                      + bias_blk[None])
+                ctr = ctr.at[:, norm - sem:norm].set(jnp.tanh(ea))
+            ada_src = jax.lax.dynamic_slice_in_dim(ada, src * vl, vl, axis=2)
+            A_src = jax.lax.dynamic_slice_in_dim(A_cols, src * vl, vl, axis=1)
+            Gc = (ctr * a_vec[None, :, None, None, None]
+                  + (ada_src * b_vec[None, :, None, None]
+                     + A_src[None])[:, :, None])
+            # issue the transfer, then contract the chunk we already hold
+            pre_next = jax.lax.ppermute(pre_cur, axis, perm)
+            y = y + jnp.einsum("ntvkc,nkcvw->ntwkc", pre_cur, Gc,
+                               preferred_element_type=acc).astype(y.dtype)
+            return y, pre_next
+
+        y0 = jnp.zeros((n, t, vl, K, mid), x.dtype)
+        y, _ = jax.lax.fori_loop(0, G, step, (y0, pre_x))
+        return y.reshape(n, t, vl, K * mid)
 
 
 class _ConvParams(nn.Module):

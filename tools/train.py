@@ -29,7 +29,7 @@ def parse_args():
     return p.parse_args()
 
 
-def build_loaders(cfg, seed):
+def build_loaders(cfg, seed, n_graph=1):
     import jax
     from dsgcn_tpu.data.dataset import Loader, build_dataset
 
@@ -38,8 +38,9 @@ def build_loaders(cfg, seed):
     # videos_per_gpu is the reference's PER-DEVICE batch (16/GPU x 8 GPUs =>
     # 128 global, lr tuned to that).  One process here drives all local chips,
     # so the host-level loader batch must be per-device x local chips to keep
-    # the recipe's global batch and per-device BN statistics.
-    n_local = jax.local_device_count()
+    # the recipe's global batch and per-device BN statistics.  Under a 2D
+    # (data x graph) mesh only the data axis carries distinct samples.
+    n_local = max(jax.local_device_count() // n_graph, 1)
     bpg = data.get("videos_per_gpu", 16)
     batch = bpg * n_local
     print(f"batch: {bpg}/device x {n_local} local devices = {batch}/host "
@@ -85,8 +86,17 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(os.path.join(work_dir, "config.json"))
 
+    # joint-partition parallelism: cfg.n_graph > 1 builds a 2D (data x graph)
+    # mesh and shards the skeleton's joints over the inner axis (must divide
+    # V: 5 or 25 for NTU).  Supported backbones: DGSTGCN with gcn_type
+    # dggcn/dgphgcn1 + tcn_type dgmstcn/unit_tcn.
+    n_graph = int(cfg.get("n_graph", 1))
+    if n_graph > 1:
+        from dsgcn_tpu.parallel.mesh import GRAPH_AXIS
+        cfg["model"]["backbone"]["graph_axis"] = GRAPH_AXIS
+
     model = build_model(cfg["model"])
-    train_loader, val_loader = build_loaders(cfg, args.seed)
+    train_loader, val_loader = build_loaders(cfg, args.seed, n_graph=n_graph)
     opt = cfg.get("optimizer", {})
     total_epochs = args.total_epochs or cfg.get("total_epochs", 80)
 
@@ -105,6 +115,7 @@ def main():
         eval_metrics=cfg.get("evaluation", {}).get(
             "metrics", ["top_k_accuracy"]),
         prefetch_depth=cfg.get("data", {}).get("prefetch_depth", 2),
+        n_graph=n_graph,
     )
     if not args.no_auto_resume:
         trainer.resume_if_possible()
