@@ -241,6 +241,38 @@ def _ms_branches(s: _Scope, kind: str) -> Tuple[Dict, Dict]:
     return p, st
 
 
+def _ctr_mstcn(s: _Scope) -> Tuple[Dict, Dict]:
+    """CTR-GCN's MSTCN (reference msg3d_utils.py:64-142): per-branch
+    Sequentials with trailing BNs and NO post-concat transform — maps onto
+    flax CTRMSTCN (branch{i}_pre/_bn/_tcn, max branch _bn2, last 1x1
+    branch{i}_conv+_bn)."""
+    p, st = {}, {}
+    i = 0
+    while s.has_sub(f"branches.{i}"):
+        br = s.sub(f"branches.{i}")
+        if br.has_sub("3.conv"):          # (1x1, BN, ReLU, unit_tcn{conv,bn})
+            p[f"branch{i}_pre"] = _dense(br, "0")
+            bp, bs = _bn(br, "1")
+            p[f"branch{i}_bn"], st[f"branch{i}_bn"] = bp, bs
+            tp = {"conv": {"conv": _tconv(br, "3.conv")["conv"]}}
+            bp, bs = _bn(br, "3.bn")
+            tp["bn"] = bp
+            p[f"branch{i}_tcn"] = tp
+            st[f"branch{i}_tcn"] = {"bn": bs}
+        elif br.has_sub("4"):             # (1x1, BN, ReLU, maxpool, BN)
+            p[f"branch{i}_pre"] = _dense(br, "0")
+            bp, bs = _bn(br, "1")
+            p[f"branch{i}_bn"], st[f"branch{i}_bn"] = bp, bs
+            bp, bs = _bn(br, "4")
+            p[f"branch{i}_bn2"], st[f"branch{i}_bn2"] = bp, bs
+        else:                             # (strided 1x1 conv, BN)
+            p[f"branch{i}_conv"] = {"conv": _tconv(br, "0")["conv"]}
+            bp, bs = _bn(br, "1")
+            p[f"branch{i}_bn"], st[f"branch{i}_bn"] = bp, bs
+        i += 1
+    return p, st
+
+
 def _mstcn(s: _Scope, kind: str = "tcn") -> Tuple[Dict, Dict]:
     bp, bs = _ms_branches(s, kind)
     p = {"branches": bp}
@@ -297,7 +329,9 @@ def _block(s: _Scope, gcn_attr="gcn", tcn_attr="tcn") -> Tuple[Dict, Dict]:
     p["gcn"], st["gcn"] = gp, gs
     t = s.sub(tcn_attr)
     kind = _detect_tcn(t)
-    if kind in ("mstcn", "msmlp"):
+    if kind == "mstcn" and not t.has_sub("transform.0"):
+        tp, ts = _ctr_mstcn(t)            # CTR-GCN MSTCN: no transform stage
+    elif kind in ("mstcn", "msmlp"):
         tp, ts = _mstcn(t, "mlp" if kind == "msmlp" else "tcn")
     elif kind == "unitmlp":
         tp, ts = _unitmlp(t)

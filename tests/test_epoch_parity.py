@@ -119,7 +119,16 @@ def _pipeline_batches(tmpdir, seed):
     return epochs, vb
 
 
-def _make_torch_model(seed):
+class _KeepDouble(torch.Tensor):
+    """Neutralizes the reference STGCN's input hard-cast (stgcn.py:142
+    ``x = x.float()``) so the whole stgcn++ trajectory can run in float64 —
+    a no-op semantically (the cast is identity on matching dtypes)."""
+
+    def float(self):
+        return self
+
+
+def _make_torch_model(seed, family):
     # pin BOTH torch and numpy global RNGs: the reference Graph(mode='random')
     # draws A from the unseeded global numpy RNG (graph.py:185-187), and the
     # clean/perturbed/resync constructions must be bitwise-identical for the
@@ -127,35 +136,57 @@ def _make_torch_model(seed):
     torch.manual_seed(0)
     np.random.seed(100 + seed)
     refbb = ref_loader.load_ref_backbones()
-    ref_backbone = refbb["dgstgcn"].DGSTGCN(
-        graph_cfg=dict(layout="nturgb+d", mode="random", num_filter=3,
-                       init_off=0.04, init_std=0.02),
-        gcn_type="dgphgcn1", gcn_ratio=0.125, gcn_node_attention=True,
-        gcn_edge_attention=True, gcn_decompose=True, gcn_subset_wise=True,
-        gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn")
+    if family == "dsgcn":
+        ref_backbone = refbb["dgstgcn"].DGSTGCN(
+            graph_cfg=dict(layout="nturgb+d", mode="random", num_filter=3,
+                           init_off=0.04, init_std=0.02),
+            gcn_type="dgphgcn1", gcn_ratio=0.125, gcn_node_attention=True,
+            gcn_edge_attention=True, gcn_decompose=True, gcn_subset_wise=True,
+            gcn_ctr="T", gcn_ada="T", tcn_type="dgmstcn")
+    elif family == "stgcn++":
+        ref_backbone = refbb["stgcn"].STGCN(
+            graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+            gcn_adaptive="init", gcn_with_res=True, tcn_type="mstcn")
+    elif family == "ctrgcn":
+        ref_backbone = refbb["ctrgcn"].CTRGCN(
+            graph_cfg=dict(layout="nturgb+d", mode="spatial"),
+            gcn_type="unit_ctrgcn")
+    else:
+        raise ValueError(family)
     tmodel = TorchRecognizer(ref_backbone).double()
-    rng = np.random.default_rng(seed)
-    with torch.no_grad():   # non-zero gates so the dynamic graphs train
-        for p in tmodel.backbone.parameters():
-            if p.ndim == 1 and p.shape[0] == 3:
-                p.copy_(torch.tensor(rng.uniform(-0.3, 0.3, 3)))
+    if family == "dsgcn":
+        rng = np.random.default_rng(seed)
+        with torch.no_grad():   # non-zero gates so the dynamic graphs train
+            for p in tmodel.backbone.parameters():
+                if p.ndim == 1 and p.shape[0] == 3:
+                    p.copy_(torch.tensor(rng.uniform(-0.3, 0.3, 3)))
     return tmodel
 
 
-def _torch_variables(tmodel):
+def _as_input(x, family):
+    t = torch.tensor(np.ascontiguousarray(x))
+    return t.as_subclass(_KeepDouble) if family == "stgcn++" else t
+
+
+# CTRGCN stores blocks in 'net' with gcn1/tcn1 attrs (reference ctrgcn.py)
+_IMPORT_KW = {"ctrgcn": dict(blocks_attr="net", gcn_attr="gcn1",
+                             tcn_attr="tcn1")}
+
+
+def _torch_variables(tmodel, family):
     """Full torch state -> flax variables via the production importer."""
     sd = {f"backbone.{k}": v.numpy()
           for k, v in tmodel.backbone.state_dict().items()}
     sd["cls_head.fc_cls.weight"] = tmodel.fc.weight.detach().numpy()
     sd["cls_head.fc_cls.bias"] = tmodel.fc.bias.detach().numpy()
-    return import_state_dict(sd), sd
+    return import_state_dict(sd, **_IMPORT_KW.get(family, {})), sd
 
 
-def _sync_state(tmodel, topt, state, tx, gstep):
+def _sync_state(tmodel, topt, state, tx, gstep, family):
     """jax TrainState := full torch state (params + BN stats + momentum
     buffers + schedule count).  Momentum buffers ride the same name-mapping
     importer as the weights (identical shapes/layout)."""
-    variables, sd = _torch_variables(tmodel)
+    variables, sd = _torch_variables(tmodel, family)
     mom_sd = dict(sd)      # buffers (BN stats) pass through for layout only
     names = {id(p): n for n, p in tmodel.named_parameters()}
     for p in tmodel.parameters():
@@ -164,7 +195,7 @@ def _sync_state(tmodel, topt, state, tx, gstep):
         n = ("cls_head.fc_cls." + n.split(".", 1)[1] if n.startswith("fc.")
              else n)
         mom_sd[n] = np.zeros(tuple(p.shape)) if buf is None else buf.numpy()
-    mom_vars = import_state_dict(mom_sd)
+    mom_vars = import_state_dict(mom_sd, **_IMPORT_KW.get(family, {}))
     new_opt = []
     for s in tx.init(variables["params"]):
         if "trace" in getattr(s, "_fields", ()):
@@ -183,7 +214,7 @@ def _flat(tree):
             jax.tree_util.tree_leaves_with_path(tree)}
 
 
-def _torch_free_run(tmodel, epochs, val_batches):
+def _torch_free_run(tmodel, epochs, val_batches, family):
     """Train 2 epochs, return (losses, per-epoch BN stats, per-epoch logits)."""
     topt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOM,
                            weight_decay=WD, nesterov=True)
@@ -193,7 +224,7 @@ def _torch_free_run(tmodel, epochs, val_batches):
     for batches in epochs:
         for x, y in batches:
             tmodel.train()
-            out = tmodel(torch.tensor(np.ascontiguousarray(x)))
+            out = tmodel(_as_input(x, family))
             loss = torch.nn.functional.cross_entropy(
                 out, torch.tensor(y, dtype=torch.long))
             topt.zero_grad()
@@ -202,13 +233,14 @@ def _torch_free_run(tmodel, epochs, val_batches):
             tsched.step()
             losses.append(float(loss.detach()))
         tmodel.eval()
-        _, sd = _torch_variables(tmodel)
-        bn_stats.append(_flat(import_state_dict(sd)["batch_stats"]))
+        _, sd = _torch_variables(tmodel, family)
+        bn_stats.append(_flat(import_state_dict(
+            sd, **_IMPORT_KW.get(family, {}))["batch_stats"]))
         ep_logits = []
         for x, y in val_batches:
             with torch.no_grad():
-                ep_logits.append(
-                    tmodel(torch.tensor(np.ascontiguousarray(x))).numpy())
+                ep_logits.append(np.asarray(
+                    tmodel(_as_input(x, family)).detach()))
         logits.append(ep_logits)
     return losses, bn_stats, logits
 
@@ -228,31 +260,35 @@ def _assert_within(actual, desired, env, name):
         f"{bound.flat[np.argmax(err - bound)]:.3e}")
 
 
-@pytest.mark.parametrize("seed", [7, 19, 31])
-def test_full_epoch_train_eval_parity(tmp_path, seed):
+@pytest.mark.parametrize("family,seed", [
+    ("dsgcn", 7), ("dsgcn", 19), ("dsgcn", 31),
+    ("stgcn++", 7), ("ctrgcn", 7),
+])
+def test_full_epoch_train_eval_parity(tmp_path, family, seed):
     jax.config.update("jax_enable_x64", True)
     try:
-        _run(tmp_path, seed)
+        _run(tmp_path, family, seed)
     finally:
         jax.config.update("jax_enable_x64", False)
 
 
-def _run(tmp_path, seed):
+def _run(tmp_path, family, seed):
     epochs, val_batches = _pipeline_batches(tmp_path, seed)
 
     # ---------------- torch clean free run (the oracle trajectory) --------
-    tmodel = _make_torch_model(seed)
-    variables0, _ = _torch_variables(tmodel)       # initial state snapshot
-    t_losses, t_bn, t_logits = _torch_free_run(tmodel, epochs, val_batches)
+    tmodel = _make_torch_model(seed, family)
+    variables0, _ = _torch_variables(tmodel, family)  # initial snapshot
+    t_losses, t_bn, t_logits = _torch_free_run(tmodel, epochs, val_batches,
+                                               family)
 
     # ---------------- torch perturbed run -> measured chaos envelope ------
-    pmodel = _make_torch_model(seed)
+    pmodel = _make_torch_model(seed, family)
     prng = np.random.default_rng(1234 + seed)
     with torch.no_grad():
         for p in pmodel.parameters():
             r = np.sign(prng.standard_normal(tuple(p.shape)) + 1e-12)
             p.mul_(torch.tensor(1.0 + PERT * r))
-    p_losses, p_bn, p_logits = _torch_free_run(pmodel, epochs, val_batches)
+    p_losses, p_bn, p_logits = _torch_free_run(pmodel, epochs, val_batches, family)
     env_loss = [abs(a - b) for a, b in zip(t_losses, p_losses)]
     env_bn = [{k: np.abs(a[k] - b[k]) for k in a}
               for a, b in zip(t_bn, p_bn)]
@@ -260,7 +296,7 @@ def _run(tmp_path, seed):
                   for ea, eb in zip(t_logits, p_logits)]
 
     # ---------------- jax setup -------------------------------------------
-    jmodel = build_named_model("dsgcn", num_classes=N_CLASSES)
+    jmodel = build_named_model(family, num_classes=N_CLASSES)
     tx, sched = make_optimizer(lr=LR, momentum=MOM, weight_decay=WD,
                                total_steps=TOTAL_STEPS, schedule="cosine")
     step = jax.jit(train_step)
@@ -268,7 +304,7 @@ def _run(tmp_path, seed):
         {"params": p, "batch_stats": s}, x, train=False))
 
     # ---------------- check 1: resynced strict per-step parity ------------
-    rmodel = _make_torch_model(seed)
+    rmodel = _make_torch_model(seed, family)
     ropt = torch.optim.SGD(rmodel.parameters(), lr=LR, momentum=MOM,
                            weight_decay=WD, nesterov=True)
     rsched = torch.optim.lr_scheduler.CosineAnnealingLR(
@@ -279,9 +315,9 @@ def _run(tmp_path, seed):
     for batches in epochs:
         for x, y in batches:
             assert abs(ropt.param_groups[0]["lr"] - float(sched(gstep))) < 1e-12
-            rstate = _sync_state(rmodel, ropt, rstate, tx, gstep)
+            rstate = _sync_state(rmodel, ropt, rstate, tx, gstep, family)
             rmodel.train()
-            out = rmodel(torch.tensor(np.ascontiguousarray(x)))
+            out = rmodel(_as_input(x, family))
             loss_t = torch.nn.functional.cross_entropy(
                 out, torch.tensor(y, dtype=torch.long))
             ropt.zero_grad()
@@ -292,7 +328,7 @@ def _run(tmp_path, seed):
             rstate, metrics = step(rstate, batch, jax.random.PRNGKey(0))
             assert abs(float(metrics["loss"]) - float(loss_t.detach())) < \
                 1e-10 * max(1.0, abs(float(loss_t.detach()))), f"step {gstep}"
-            want, _ = _torch_variables(rmodel)
+            want, _ = _torch_variables(rmodel, family)
             got_p, want_p = _flat(rstate.params), _flat(want["params"])
             got_s, want_s = _flat(rstate.batch_stats), _flat(want["batch_stats"])
             assert set(got_p) == set(want_p) and set(got_s) == set(want_s)
