@@ -7,6 +7,15 @@ computation finishes (verified: it "timed" an 8192^3 matmul at 25 PFLOP/s on
 a 197-TFLOP/s chip), so naive harnesses measure dispatch rate, not compute.
 Round-1 numbers (BENCH_r01) suffered exactly that; these are honest.
 
+Robust protocol (round-3): every recorded number is min of >=5 repetitions;
+the median and (max-min)/median spread ride alongside in the JSON so a noisy
+tunnel run is visible in the capture itself instead of silently inflating a
+best-of headline.  The model-zoo section times every baseline family
+(stgcn/stgcn++/aagcn/ctrgcn/msg3d/sgn/posec3d) against the reference's
+published 2080Ti FPS table (BASELINE.md), and the ms_tcn section records the
+fused-Pallas-vs-XLA multi-branch TCN comparison that decides the
+tcn_use_pallas default.
+
 Headline mirrors the reference's published FPS setup
 (examples/inference_speed.ipynb: batch 16, M=2, T=100, V=25, fp32) vs its
 RTX 2080Ti number (409 FPS, BASELINE.md).  The headline b16 loop runs ON
@@ -43,18 +52,27 @@ PEAK_TFLOPS = {  # dense MXU peak (bf16), per chip
 }
 
 
-def _bench_scalar(fn, args, iters=6, reps=3):
-    """Best-of-reps mean per-iteration seconds.  ``fn`` must return a scalar;
-    the float() fetch at the end of each rep forces the whole queued chain."""
+def _bench_scalar_stats(fn, args, iters=6, reps=5):
+    """Per-iteration seconds over >= ``reps`` repetitions: (best, median,
+    spread).  ``fn`` must return a scalar; the float() fetch at the end of
+    each rep forces the whole queued chain.  ``spread`` = (max-min)/median —
+    recorded in the JSON so a noisy tunnel run is visible in the capture
+    instead of silently inflating a best-of headline (round-2 lesson)."""
     s = float(fn(*args))   # compile + warm
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
         s = float(out)  # noqa: F841
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    med = times[len(times) // 2]
+    return times[0], med, (times[-1] - times[0]) / med
+
+
+def _bench_scalar(fn, args, iters=6, reps=5):
+    return _bench_scalar_stats(fn, args, iters=iters, reps=reps)[0]
 
 
 def _bench_device_loop(apply_fn, variables, x, iters=32, reps=3):
@@ -118,8 +136,11 @@ def main():
         eapply = lambda v_, x_: model.apply(v_, x_, train=False)  # noqa: E731
         fwd = jax.jit(lambda v_, x_: eapply(v_, x_).sum())
         _mark(f"{name}: infer b16 (host loop)")
-        results[f"{name}_infer_fps_b16_hostloop"] = 16 / _bench_scalar(
-            fwd, (variables, x16), iters=10, reps=3)
+        best, med, spread = _bench_scalar_stats(fwd, (variables, x16),
+                                                iters=12, reps=5)
+        results[f"{name}_infer_fps_b16_hostloop"] = 16 / best
+        results[f"{name}_infer_fps_b16_hostloop_med"] = 16 / med
+        results[f"{name}_infer_b16_spread_pct"] = 100 * spread
         _mark(f"{name}: infer b16 (device loop)")
         try:
             results[f"{name}_infer_fps_b16"] = 16 / _bench_device_loop(
@@ -131,8 +152,11 @@ def main():
         sb = sat_batch[name]
         _mark(f"{name}: infer b{sb}")
         try:
-            dt = _bench_scalar(fwd, (variables, x1k[:sb]), iters=4)
+            dt, med, spread = _bench_scalar_stats(fwd, (variables, x1k[:sb]),
+                                                  iters=4, reps=5)
             results[f"{name}_infer_fps_b{sb}"] = sb / dt
+            results[f"{name}_infer_fps_b{sb}_med"] = sb / med
+            results[f"{name}_infer_b{sb}_spread_pct"] = 100 * spread
             # methodology cross-check: at saturated batch the device-loop and
             # host-loop numbers must agree (compute >> per-dispatch overhead)
             _mark(f"{name}: infer b{sb} (device loop)")
@@ -200,6 +224,58 @@ def main():
             bench_one(name)
         except Exception as e:   # one model's flake must not lose the other's
             _mark(f"{name}: model bench failed ({e!r})")
+
+    # ---- model-zoo FPS vs the reference's published 2080Ti table ----------
+    # (BASELINE.md / examples/inference_speed.ipynb: batch 16, M=2, T=100,
+    # V=25, fp32; sgn runs its reference T=30 protocol).  Each family guarded
+    # individually; min+median of 5 reps like the headline.
+    zoo_ref = {"stgcn": 518, "stgcn++": 476, "aagcn": 274, "ctrgcn": 353,
+               "msg3d": 111, "sgn": None, "posec3d": 41}
+    for name, ref in zoo_ref.items():
+        key = name.replace("++", "pp")
+        try:
+            _mark(f"zoo {name}: init")
+            if name == "posec3d":
+                from dsgcn_tpu.configs.config import Config
+                from dsgcn_tpu.models.builder import build_model as _bm
+                cfgd = Config.fromfile("configs/posec3d/slowonly_ntu60_xsub.py")
+                zmodel = _bm(cfgd["model"])
+                zx = jnp.asarray(rng.standard_normal(
+                    (16, 48, 56, 56, 17)).astype(np.float32))
+            else:
+                zmodel = build_named_model(name, num_classes=60)
+                zx = x16[:, :, :30] if name == "sgn" else x16
+            zvars = jax.jit(
+                lambda k, x_: zmodel.init(k, x_, train=False))(
+                jax.random.PRNGKey(0), zx[:2])
+            zfwd = jax.jit(
+                lambda v_, x_: zmodel.apply(v_, x_, train=False).sum())
+            _mark(f"zoo {name}: infer b16")
+            best, med, spread = _bench_scalar_stats(zfwd, (zvars, zx),
+                                                    iters=10, reps=5)
+            results[f"{key}_infer_fps_b16"] = 16 / best
+            results[f"{key}_infer_fps_b16_med"] = 16 / med
+            results[f"{key}_infer_b16_spread_pct"] = 100 * spread
+            if ref:
+                results[f"{key}_vs_2080ti"] = 16 / best / ref
+        except Exception as e:
+            _mark(f"zoo {name}: failed ({e!r})")
+
+    # ---- fused multi-branch TCN (ops/pallas/ms_tcn.py) vs its XLA region --
+    # VERDICT r2 #6: measure on chip, decide the default from data.
+    try:
+        from dsgcn_tpu.ops.tcn import DGMSTCN
+        xt = x1k[:512].reshape(1024, 100, 25, 3)[..., :1].repeat(64, -1)
+        for use_pallas, tag in ((False, "xla"), (True, "pallas")):
+            tcn = DGMSTCN(out_channels=64, use_pallas=use_pallas)
+            tv = jax.jit(lambda k, x_: tcn.init(k, x_, train=False))(
+                jax.random.PRNGKey(0), xt[:2])
+            tf = jax.jit(lambda v_, x_: tcn.apply(v_, x_, train=False).sum())
+            _mark(f"ms_tcn {tag}: c64 T100 b1024")
+            dt = _bench_scalar(tf, (tv, xt), iters=6, reps=3)
+            results[f"ms_tcn_{tag}_ms_c64_b1024"] = dt * 1e3
+    except Exception as e:
+        _mark(f"ms_tcn section failed ({e!r})")
 
     # XLA (non-Pallas) dynamic-graph path for comparison
     model, variables = models.get("dsgcn", (None, None))
