@@ -55,13 +55,18 @@ def _block_kernel(x_ref, x1_ref, x2_ref, wpre_ref, bpre_ref, A_ref,
     out_ref = rest[i]
 
     f32 = jnp.float32
-    x = x_ref[0].astype(f32)                            # (Tt, V, C)
+    Tt, V, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    # flatten (Tt, V) rows so every 1x1-conv matmul lowers as ONE wide MXU
+    # matmul instead of Tt tiny (V, C) ones (measured 12% on stage shapes;
+    # the leading-dim merge is layout-free)
+    xf = x_ref[0].astype(f32).reshape(Tt * V, C)
 
     # pre = ReLU(BN(pre_conv(x))), BN folded host-side
-    pre = jax.lax.dot_general(x, wpre_ref[...],
-                              dimension_numbers=(((2,), (0,)), ((), ())),
+    pre = jax.lax.dot_general(xf, wpre_ref[...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
                               preferred_element_type=f32)
-    pre = jnp.maximum(pre + bpre_ref[...], 0.0)         # (Tt, V, K*Cm)
+    pre = jnp.maximum(pre + bpre_ref[...], 0.0) \
+        .reshape(Tt, V, -1)                             # (Tt, V, K*Cm)
 
     x1 = x1_ref[0].astype(f32)                          # (K, Cm, V)
     x2 = x2_ref[0].astype(f32)
@@ -88,17 +93,19 @@ def _block_kernel(x_ref, x1_ref, x2_ref, wpre_ref, bpre_ref, A_ref,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32))                # (Cm, Tt, W)
     y = jnp.transpose(jnp.concatenate(parts, axis=0), (1, 2, 0))
+    yf = y.reshape(Tt * V, -1)
 
-    out = jax.lax.dot_general(y, wpost_ref[...],
-                              dimension_numbers=(((2,), (0,)), ((), ())),
+    out = jax.lax.dot_general(yf, wpost_ref[...],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
                               preferred_element_type=f32) + bpost_ref[...]
     if has_down:
-        res = jax.lax.dot_general(x, wdown_ref[...],
-                                  dimension_numbers=(((2,), (0,)), ((), ())),
+        res = jax.lax.dot_general(xf, wdown_ref[...],
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
                                   preferred_element_type=f32) + bdown_ref[...]
     else:
-        res = x
-    out_ref[0] = jnp.maximum(out + res, 0.0).astype(out_ref.dtype)
+        res = xf
+    out_ref[0] = jnp.maximum(out + res, 0.0) \
+        .reshape(Tt, V, -1).astype(out_ref.dtype)
 
 
 def block_plan(T, V, C, KCm, Cout, Cm, has_edge=False, edge_num=15,

@@ -141,16 +141,55 @@ class _MSBranches(nn.Module):
             mid = int(self.out_channels * self.mid_channels)
             rem = mid
 
+        # Merge every branch's 1x1 pre-conv into ONE matmul so the (often
+        # concat-widened, V=26) input is read once: XLA otherwise
+        # materializes a layout copy of x inside each branch's conv fusion —
+        # measured 6 x 2.7 GB of pure copy traffic per dgmstcn at b1024
+        # (scratch HLO audit, round 3).  Math is the column-concatenation of
+        # the per-branch matmuls (identical contractions); params stay the
+        # per-branch modules (checkpoint-compatible), read via the scope on
+        # the non-init path exactly like ms_tcn.py's eval fusion does.
+        merged = {}
+        if not self.is_initializing():
+            from .common import accum_dtype
+            ws, bs, offs = [], [], {}
+            off = 0
+            for i, cfg in enumerate(self.ms_cfg):
+                bc = rem if i == 0 else mid
+                if cfg == "1x1":
+                    # TemporalConv k=1 == a 1x1: fold its (1, in, out) kernel
+                    # into the same matmul; its stride applies afterwards
+                    s = self.scope.push(f"branch{i}_conv", reuse=True) \
+                        .push("conv", reuse=True)
+                    ws.append(s.get_variable("params", "kernel")[0, 0])
+                else:
+                    s = self.scope.push(f"branch{i}_pre", reuse=True)
+                    ws.append(s.get_variable("params", "kernel"))
+                bs.append(s.get_variable("params", "bias"))
+                offs[i] = (off, bc)
+                off += bc
+            W = jnp.concatenate(ws, axis=-1).astype(x.dtype)
+            B = jnp.concatenate(bs).astype(x.dtype)
+            big = jnp.einsum("...i,io->...o", x, W,
+                             preferred_element_type=accum_dtype(x.dtype)
+                             ).astype(x.dtype) + B
+            merged = {i: big[..., o:o + bc] for i, (o, bc) in offs.items()}
+
         outs: List[Array] = []
         for i, cfg in enumerate(self.ms_cfg):
             branch_c = rem if i == 0 else mid
             if cfg == "1x1":
-                b = TemporalConv(branch_c, kernel_size=1, stride=self.stride,
-                                 name=f"branch{i}_conv")(x)
+                if i in merged:
+                    b = merged[i][:, ::self.stride]
+                else:
+                    b = TemporalConv(branch_c, kernel_size=1,
+                                     stride=self.stride,
+                                     name=f"branch{i}_conv")(x)
                 outs.append(b)
                 continue
             kind, val = cfg
-            b = PointConv(branch_c, name=f"branch{i}_pre")(x)
+            b = merged[i] if i in merged else \
+                PointConv(branch_c, name=f"branch{i}_pre")(x)
             b = BatchNorm(name=f"branch{i}_bn", axis_name=self.bn_axis)(
                 b, use_running_average=not train, weight=bn_weight)
             b = jax.nn.relu(b)
@@ -268,6 +307,31 @@ class DGMSTCN(nn.Module):
             # running stats; params are read from the tree the XLA path
             # created at init (identical tree in both modes)
             return _fused_ms_eval(self, x, add_coeff[:v])
+        if self.graph_axis is None and not train and not self.is_initializing():
+            # eval: skip the 26-joint concat — every BN is an affine from
+            # running stats and all branch ops are per-joint, so running the
+            # SAME branches module (shared params) on x and on the global
+            # mean joint separately is exact, avoids materializing the
+            # layout-hostile (V=26) tensor, and lets the branch matmul fuse
+            # with its producer (HLO audit: the concat cost a 2.7 GB copy
+            # per block at b1024)
+            branches = _MSBranches(self.out_channels, self.mid_channels,
+                                   self.ms_cfg, self.stride,
+                                   self.branch_kind, name="branches")
+            mean_joint = x.mean(axis=2, keepdims=True).astype(x.dtype)
+            local_feat = branches(x, train=False)
+            global_feat = branches(mean_joint, train=False)[:, :, 0]
+            coeff = add_coeff[:v]
+            feat = local_feat + global_feat[:, :, None, :] \
+                * coeff[None, None, :, None]
+            feat = BatchNorm(name="transform_bn")(
+                feat, use_running_average=True)
+            feat = jax.nn.relu(feat)
+            feat = PointConv(self.out_channels, name="transform_conv")(feat)
+            feat = BatchNorm(name="bn")(feat, use_running_average=True)
+            if self.dropout > 0:
+                feat = nn.Dropout(self.dropout, deterministic=True)(feat)
+            return feat
         if self.graph_axis is None:
             mean_joint = x.mean(axis=2, keepdims=True)
             coeff = add_coeff[:v]
