@@ -132,7 +132,8 @@ class _MSBranches(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool,
-                 bn_weight: Optional[Array] = None) -> Array:
+                 bn_weight: Optional[Array] = None,
+                 as_list: bool = False):
         num_branches = len(self.ms_cfg)
         if self.mid_channels is None:
             mid = self.out_channels // num_branches
@@ -207,7 +208,10 @@ class _MSBranches(nn.Module):
                             dilation=val, norm=None, name=f"branch{i}_tcn")(
                                 b, train=train)
             outs.append(b)
-        return jnp.concatenate(outs, axis=-1)
+        # as_list: callers that consume branches per-slice (eval fast path)
+        # skip the concat — XLA assigns it a layout the downstream matmuls
+        # reject, costing a full copy of the block tensor (HLO audit)
+        return outs if as_list else jnp.concatenate(outs, axis=-1)
 
 
 class MSTCN(nn.Module):
@@ -308,26 +312,53 @@ class DGMSTCN(nn.Module):
             # created at init (identical tree in both modes)
             return _fused_ms_eval(self, x, add_coeff[:v])
         if self.graph_axis is None and not train and not self.is_initializing():
-            # eval: skip the 26-joint concat — every BN is an affine from
-            # running stats and all branch ops are per-joint, so running the
-            # SAME branches module (shared params) on x and on the global
-            # mean joint separately is exact, avoids materializing the
-            # layout-hostile (V=26) tensor, and lets the branch matmul fuse
-            # with its producer (HLO audit: the concat cost a 2.7 GB copy
-            # per block at b1024)
+            # eval fast path — exact (every BN here is an affine from running
+            # stats and all ops are per-joint/per-channel), concat-free:
+            # 1. the SAME branches module (shared params) runs on x and on
+            #    the global mean joint separately — no 26-joint tensor;
+            # 2. branch outputs stay a LIST: the transform region
+            #    (concat -> transform_bn -> relu -> transform_conv) is
+            #    applied per branch — BN-affine channel slice, relu, and the
+            #    matching ROW BLOCK of the transform kernel — and the matmul
+            #    partials are summed, which is the same matmul with the
+            #    reduction regrouped.  The concat's XLA layout forced a full
+            #    copy of the block tensor at the transform matmul (HLO
+            #    audit: {3,0,2,1}->{3,2,1,0} copies, 1.3-2.7 GB per block).
+            from .pallas.ms_tcn import fold_bn
+            from .common import accum_dtype
             branches = _MSBranches(self.out_channels, self.mid_channels,
                                    self.ms_cfg, self.stride,
                                    self.branch_kind, name="branches")
             mean_joint = x.mean(axis=2, keepdims=True).astype(x.dtype)
-            local_feat = branches(x, train=False)
-            global_feat = branches(mean_joint, train=False)[:, :, 0]
-            coeff = add_coeff[:v]
-            feat = local_feat + global_feat[:, :, None, :] \
-                * coeff[None, None, :, None]
-            feat = BatchNorm(name="transform_bn")(
-                feat, use_running_average=True)
-            feat = jax.nn.relu(feat)
-            feat = PointConv(self.out_channels, name="transform_conv")(feat)
+            locals_ = branches(x, train=False, as_list=True)
+            globals_ = branches(mean_joint, train=False, as_list=True)
+            coeff = add_coeff[:v].astype(x.dtype)
+
+            sbn = self.scope.push("transform_bn", reuse=True) \
+                .push("bn", reuse=True)
+            a_bn, b_bn = fold_bn(sbn.get_variable("params", "scale"),
+                                 sbn.get_variable("params", "bias"),
+                                 sbn.get_variable("batch_stats", "mean"),
+                                 sbn.get_variable("batch_stats", "var"))
+            stc = self.scope.push("transform_conv", reuse=True)
+            w_t = stc.get_variable("params", "kernel").astype(x.dtype)
+            b_t = stc.get_variable("params", "bias").astype(x.dtype)
+
+            acc = None
+            off = 0
+            for bl, gl in zip(locals_, globals_):
+                bc = bl.shape[-1]
+                f = bl + gl[:, :, 0][:, :, None, :] * coeff[None, None, :, None]
+                f = f * a_bn[off:off + bc].astype(x.dtype) \
+                    + b_bn[off:off + bc].astype(x.dtype)
+                f = jax.nn.relu(f)
+                part = jnp.einsum(
+                    "...i,io->...o", f, w_t[off:off + bc],
+                    preferred_element_type=accum_dtype(x.dtype)
+                ).astype(x.dtype)
+                acc = part if acc is None else acc + part
+                off += bc
+            feat = acc + b_t
             feat = BatchNorm(name="bn")(feat, use_running_average=True)
             if self.dropout > 0:
                 feat = nn.Dropout(self.dropout, deterministic=True)(feat)
