@@ -149,9 +149,11 @@ def main():
             _mark(f"{name}: device loop failed ({e!r}); using host loop")
             results[f"{name}_infer_fps_b16"] = \
                 results[f"{name}_infer_fps_b16_hostloop"]
-        # batch sweep: throughput peaks at a mid batch (~b64) and declines
-        # at very large N (XLA inter-op copy traffic grows with N around the
-        # custom calls — measured; the isolated blocks amortize fine), so
+        # batch sweep: throughput peaks at a mid batch (~b64) and stays ~flat
+        # to b512 (stage-by-stage probe: backbone per-sample cost +3% b64 ->
+        # b512); the fp32 b1024 point runs the whole model near the 15.75 GB
+        # HBM ceiling, where ops/tcn.py's footprint gate trades the fast
+        # partial-sum layout for the low-liveness concat layout (-15%).
         # "saturated" = the best point of the sweep, all points recorded
         _mark(f"{name}: infer b64")
         try:

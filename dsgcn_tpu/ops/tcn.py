@@ -19,6 +19,11 @@ from .common import (Array, BatchNorm, PointConv, TemporalConv,
 MsCfgEntry = Union[str, Tuple[Union[str, int], int]]
 DEFAULT_MS_CFG: Tuple[MsCfgEntry, ...] = ((3, 1), (3, 2), (3, 3), (3, 4), ("max", 3), "1x1")
 
+# Above this x footprint the dgmstcn eval path uses the concat transform
+# (lowest peak liveness) instead of the per-branch partial-sum loop (lowest
+# copy traffic) — see DGMSTCN.__call__.
+LIST_PATH_MAX_BYTES = 800_000_000
+
 
 class UnitTCN(nn.Module):
     """k x 1 temporal conv + BN + dropout (reference unit_tcn, tcn.py:10-37).
@@ -330,9 +335,28 @@ class DGMSTCN(nn.Module):
                                    self.ms_cfg, self.stride,
                                    self.branch_kind, name="branches")
             mean_joint = x.mean(axis=2, keepdims=True).astype(x.dtype)
+            coeff = add_coeff[:v].astype(x.dtype)
+            # The per-branch loop holds the partial-sum accumulator plus the
+            # current branch live, which pushes peak HBM past capacity at
+            # fp32 NM=2048 (where the whole model already sits near the
+            # 15.75 GB limit).  Every stage has the same x footprint (C
+            # doubles as T halves), so one static byte gate picks the
+            # concat layout exactly when memory, not copy traffic, binds.
+            if x.size * x.dtype.itemsize > LIST_PATH_MAX_BYTES:
+                local_feat = branches(x, train=False)
+                global_feat = branches(mean_joint, train=False)[:, :, 0]
+                feat = local_feat + global_feat[:, :, None, :] \
+                    * coeff[None, None, :, None]
+                feat = BatchNorm(name="transform_bn")(
+                    feat, use_running_average=True)
+                feat = jax.nn.relu(feat)
+                feat = PointConv(self.out_channels, name="transform_conv")(feat)
+                feat = BatchNorm(name="bn")(feat, use_running_average=True)
+                if self.dropout > 0:
+                    feat = nn.Dropout(self.dropout, deterministic=True)(feat)
+                return feat
             locals_ = branches(x, train=False, as_list=True)
             globals_ = branches(mean_joint, train=False, as_list=True)
-            coeff = add_coeff[:v].astype(x.dtype)
 
             sbn = self.scope.push("transform_bn", reuse=True) \
                 .push("bn", reuse=True)
