@@ -318,9 +318,19 @@ def main():
             "batch_stats": variables.get("batch_stats", {})}
         fwd = jax.jit(
             lambda v_, x_: model_bf16.apply(v_, x_, train=False).sum())
+        # bf16 batch sweep (the production inference path): monotone in
+        # batch — bf16 halves the activation footprint, so the HBM-ceiling
+        # regime that caps fp32 at b1024 starts later
+        for b in (64, 256):
+            _mark(f"dsgcn: bf16 infer b{b}")
+            dtb = _bench_scalar(fwd, (vb, x1k[:b]), iters=8)
+            results[f"dsgcn_infer_fps_b{b}_bf16"] = b / dtb
         _mark("dsgcn: bf16 infer b1024")
         dt = _bench_scalar(fwd, (vb, x1k), iters=4)
         results["dsgcn_infer_fps_b1024_bf16"] = 1024 / dt
+        results["dsgcn_infer_fps_bf16_saturated"] = max(
+            results.get(f"dsgcn_infer_fps_b{b}_bf16", 0.0)
+            for b in (64, 256, 1024))
         comp = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False)) \
             .lower(vb, x1k).compile()
         flops = float(comp.cost_analysis().get("flops", 0.0))

@@ -19,11 +19,6 @@ from .common import (Array, BatchNorm, PointConv, TemporalConv,
 MsCfgEntry = Union[str, Tuple[Union[str, int], int]]
 DEFAULT_MS_CFG: Tuple[MsCfgEntry, ...] = ((3, 1), (3, 2), (3, 3), (3, 4), ("max", 3), "1x1")
 
-# Above this x footprint the dgmstcn eval path uses the concat transform
-# (lowest peak liveness) instead of the per-branch partial-sum loop (lowest
-# copy traffic) — see DGMSTCN.__call__.
-LIST_PATH_MAX_BYTES = 800_000_000
-
 
 class UnitTCN(nn.Module):
     """k x 1 temporal conv + BN + dropout (reference unit_tcn, tcn.py:10-37).
@@ -318,17 +313,19 @@ class DGMSTCN(nn.Module):
             return _fused_ms_eval(self, x, add_coeff[:v])
         if self.graph_axis is None and not train and not self.is_initializing():
             # eval fast path — exact (every BN here is an affine from running
-            # stats and all ops are per-joint/per-channel), concat-free:
+            # stats and all ops are per-joint/per-channel):
             # 1. the SAME branches module (shared params) runs on x and on
             #    the global mean joint separately — no 26-joint tensor;
-            # 2. branch outputs stay a LIST: the transform region
-            #    (concat -> transform_bn -> relu -> transform_conv) is
-            #    applied per branch — BN-affine channel slice, relu, and the
-            #    matching ROW BLOCK of the transform kernel — and the matmul
-            #    partials are summed, which is the same matmul with the
-            #    reduction regrouped.  The concat's XLA layout forced a full
-            #    copy of the block tensor at the transform matmul (HLO
-            #    audit: {3,0,2,1}->{3,2,1,0} copies, 1.3-2.7 GB per block).
+            # 2. the transform region runs as per-branch BN-affine + relu,
+            #    ONE channel concat, then ONE (C, C_out) transform matmul.
+            #    Measured (scratch/tcn_decomp, NM=1024 stage shape): the
+            #    six per-branch row-block partial matmuls cost 9.9 us/sample
+            #    (K=10..14 on the 128x128 MXU); the single K=64 matmul cuts
+            #    the block to 13.7 us from 17.8, and the concat of aligned
+            #    elementwise producers adds no layout copy (unlike the
+            #    pre-merged-conv structure round 3 started from).  Peak
+            #    liveness matches the plain concat path, which fits the
+            #    fp32 NM=2048 regime.
             from .pallas.ms_tcn import fold_bn
             from .common import accum_dtype
             branches = _MSBranches(self.out_channels, self.mid_channels,
@@ -336,25 +333,6 @@ class DGMSTCN(nn.Module):
                                    self.branch_kind, name="branches")
             mean_joint = x.mean(axis=2, keepdims=True).astype(x.dtype)
             coeff = add_coeff[:v].astype(x.dtype)
-            # The per-branch loop holds the partial-sum accumulator plus the
-            # current branch live, which pushes peak HBM past capacity at
-            # fp32 NM=2048 (where the whole model already sits near the
-            # 15.75 GB limit).  Every stage has the same x footprint (C
-            # doubles as T halves), so one static byte gate picks the
-            # concat layout exactly when memory, not copy traffic, binds.
-            if x.size * x.dtype.itemsize > LIST_PATH_MAX_BYTES:
-                local_feat = branches(x, train=False)
-                global_feat = branches(mean_joint, train=False)[:, :, 0]
-                feat = local_feat + global_feat[:, :, None, :] \
-                    * coeff[None, None, :, None]
-                feat = BatchNorm(name="transform_bn")(
-                    feat, use_running_average=True)
-                feat = jax.nn.relu(feat)
-                feat = PointConv(self.out_channels, name="transform_conv")(feat)
-                feat = BatchNorm(name="bn")(feat, use_running_average=True)
-                if self.dropout > 0:
-                    feat = nn.Dropout(self.dropout, deterministic=True)(feat)
-                return feat
             locals_ = branches(x, train=False, as_list=True)
             globals_ = branches(mean_joint, train=False, as_list=True)
 
@@ -368,21 +346,20 @@ class DGMSTCN(nn.Module):
             w_t = stc.get_variable("params", "kernel").astype(x.dtype)
             b_t = stc.get_variable("params", "bias").astype(x.dtype)
 
-            acc = None
+            zs = []
             off = 0
             for bl, gl in zip(locals_, globals_):
                 bc = bl.shape[-1]
                 f = bl + gl[:, :, 0][:, :, None, :] * coeff[None, None, :, None]
                 f = f * a_bn[off:off + bc].astype(x.dtype) \
                     + b_bn[off:off + bc].astype(x.dtype)
-                f = jax.nn.relu(f)
-                part = jnp.einsum(
-                    "...i,io->...o", f, w_t[off:off + bc],
-                    preferred_element_type=accum_dtype(x.dtype)
-                ).astype(x.dtype)
-                acc = part if acc is None else acc + part
+                zs.append(jax.nn.relu(f))
                 off += bc
-            feat = acc + b_t
+            z = jnp.concatenate(zs, axis=-1)
+            feat = jnp.einsum(
+                "...i,io->...o", z, w_t,
+                preferred_element_type=accum_dtype(x.dtype)
+            ).astype(x.dtype) + b_t
             feat = BatchNorm(name="bn")(feat, use_running_average=True)
             if self.dropout > 0:
                 feat = nn.Dropout(self.dropout, deterministic=True)(feat)

@@ -146,25 +146,6 @@ def test_dgmstcn(refops, stride):
     _compare(our, {"params": params, "batch_stats": stats}, ref, x)
 
 
-def test_dgmstcn_eval_footprint_gate(monkeypatch):
-    """The two eval layouts (per-branch partial-sum loop vs concat transform,
-    selected by a static byte gate on x) must agree element-for-element."""
-    import dsgcn_tpu.ops.tcn as tcnmod
-    import jax
-    m = DGMSTCN(48)
-    x = jnp.asarray(np.random.default_rng(3).standard_normal(
-        (2, 16, 25, 48)).astype(np.float32))
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    _, mut = m.apply(v, x, train=True, mutable=["batch_stats"],
-                     rngs={"dropout": jax.random.PRNGKey(1)})
-    v = {**v, **mut}
-    y_list = m.apply(v, x, train=False)
-    monkeypatch.setattr(tcnmod, "LIST_PATH_MAX_BYTES", 0)
-    y_concat = m.apply(v, x, train=False)
-    np.testing.assert_allclose(np.asarray(y_list), np.asarray(y_concat),
-                               atol=2e-6, rtol=2e-6)
-
-
 @pytest.mark.parametrize("stride", [1, 2])
 def test_ctr_mstcn(stride):
     msg3d = ref_loader.load_ref_msg3d()
