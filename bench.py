@@ -28,6 +28,12 @@ fp32/bf16 throughput (params pre-cast to bf16 — the production inference
 path), XLA-vs-Pallas dynamic-graph comparison, training clips/s at b64 and
 saturated batch, achieved TFLOP/s + MFU from XLA's cost analysis, edges/s.
 
+Flake policy (round-4, after BENCH_r03 was lost to a transient tunnel
+outage at backend init): backend acquisition retries with backoff (~5 min
+total), and if the tunnel dies mid-run the captured-so-far results are still
+printed as the JSON line with an ``"error"`` field and exit code 0 — a flake
+can degrade the capture but never zero out a round's perf record.
+
 Prints ONE JSON line.
 """
 import json
@@ -103,16 +109,68 @@ def _bench_device_loop(apply_fn, variables, x, iters=32, reps=3):
     return best
 
 
+def _acquire_device():
+    """First device, with retry-backoff: the remote-tunnel TPU backend can be
+    transiently UNAVAILABLE (this zeroed out BENCH_r03).  6 attempts spread
+    over ~5 minutes before giving up."""
+    import jax
+    delays = (0, 10, 20, 45, 90, 150)
+    last = None
+    for i, d in enumerate(delays):
+        if d:
+            _mark(f"backend unavailable; retrying in {d}s "
+                  f"(attempt {i + 1}/{len(delays)})")
+            time.sleep(d)
+        try:
+            return jax.devices()[0]
+        except Exception as e:  # noqa: BLE001 — backend init raises RuntimeError
+            last = e
+    raise last
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    results = {}
+    dev = None
+    error = None
+    try:
+        dev = _acquire_device()
+        _run(dev, results)
+    except Exception as e:  # noqa: BLE001 — partial capture beats a lost round
+        error = f"{type(e).__name__}: {e}"
+        _mark(f"bench aborted mid-run: {error}")
+
+    value = results.get("dgstgcn_infer_fps_b16",
+                        results.get("dgstgcn_infer_fps_b16_hostloop"))
+    if value is None and error is None:
+        _mark("FATAL: headline metric missing with no recorded error")
+        sys.exit(1)
+    baseline_2080ti = 409.0  # BASELINE.md: DGSTGCN FPS on RTX 2080Ti
+    out = {
+        "metric": "dgstgcn_infer_fps_b16_T100_fp32",
+        "value": round(value, 2) if value is not None else None,
+        "unit": "samples/s",
+        "vs_baseline": (round(value / baseline_2080ti, 3)
+                        if value is not None else None),
+        "device": getattr(dev, "device_kind", str(dev)),
+        **{k: (round(float(v), 2) if isinstance(v, (int, float)) else v)
+           for k, v in results.items()},
+    }
+    if error is not None:
+        out["error"] = error
+    print(json.dumps(out))
+
+
+def _run(dev, results):
+    import jax
     import jax.numpy as jnp
     from dsgcn_tpu.core.train import TrainState, make_optimizer, train_step
     from dsgcn_tpu.models.builder import build_named_model
     from dsgcn_tpu.models.recognizer import RecognizerGCN
 
-    dev = jax.devices()[0]
     peak = PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), 197.0) * 1e12
 
     m, t, v, c = 2, 100, 25, 3
@@ -120,7 +178,6 @@ def main():
     x16 = jnp.asarray(rng.standard_normal((16, m, t, v, c)).astype(np.float32))
     x1k = jnp.asarray(rng.standard_normal((1024, m, t, v, c)).astype(np.float32))
 
-    results = {}
     sat_batch = {"dgstgcn": 512, "dsgcn": 1024}
     models = {}
     def bench_one(name):
@@ -152,13 +209,16 @@ def main():
         # batch sweep: throughput peaks at a mid batch (~b64) and stays ~flat
         # to b512 (stage-by-stage probe: backbone per-sample cost +3% b64 ->
         # b512); the fp32 b1024 point runs the whole model near the 15.75 GB
-        # HBM ceiling, where ops/tcn.py's footprint gate trades the fast
-        # partial-sum layout for the low-liveness concat layout (-15%).
-        # "saturated" = the best point of the sweep, all points recorded
+        # HBM ceiling (ops/tcn.py's eval transform is the single-concat
+        # layout — aligned elementwise producers, no layout copy — whose
+        # peak liveness fits that regime).  "saturated" = the best point of
+        # the sweep, all points recorded.  Saturated-candidate rows run at
+        # reps=9 (round-3 spreads of 5% on reps=5 made the best-of headline
+        # selection shaky — VERDICT r3 weak #6).
         _mark(f"{name}: infer b64")
         try:
             dt64, med64, spread64 = _bench_scalar_stats(
-                fwd, (variables, x1k[:64]), iters=8, reps=5)
+                fwd, (variables, x1k[:64]), iters=8, reps=9)
             results[f"{name}_infer_fps_b64"] = 64 / dt64
             results[f"{name}_infer_b64_spread_pct"] = 100 * spread64
         except Exception as e:
@@ -167,7 +227,7 @@ def main():
         _mark(f"{name}: infer b{sb}")
         try:
             dt, med, spread = _bench_scalar_stats(fwd, (variables, x1k[:sb]),
-                                                  iters=4, reps=5)
+                                                  iters=4, reps=9)
             results[f"{name}_infer_fps_b{sb}"] = sb / dt
             results[f"{name}_infer_fps_b{sb}_med"] = sb / med
             results[f"{name}_infer_b{sb}_spread_pct"] = 100 * spread
@@ -268,7 +328,7 @@ def main():
                 lambda v_, x_: zmodel.apply(v_, x_, train=False).sum())
             _mark(f"zoo {name}: infer b16")
             best, med, spread = _bench_scalar_stats(zfwd, (zvars, zx),
-                                                    iters=10, reps=5)
+                                                    iters=10, reps=9)
             results[f"{key}_infer_fps_b16"] = 16 / best
             results[f"{key}_infer_fps_b16_med"] = 16 / med
             results[f"{key}_infer_b16_spread_pct"] = 100 * spread
@@ -323,7 +383,7 @@ def main():
         # regime that caps fp32 at b1024 starts later
         for b in (64, 256):
             _mark(f"dsgcn: bf16 infer b{b}")
-            dtb = _bench_scalar(fwd, (vb, x1k[:b]), iters=8)
+            dtb = _bench_scalar(fwd, (vb, x1k[:b]), iters=8, reps=9)
             results[f"dsgcn_infer_fps_b{b}_bf16"] = b / dtb
         _mark("dsgcn: bf16 infer b1024")
         dt = _bench_scalar(fwd, (vb, x1k), iters=4)
@@ -346,21 +406,6 @@ def main():
         dt = 1024 / results["dsgcn_infer_fps_b1024"]
         results["dsgcn_edges_per_sec"] = \
             1024 * m * T_out * K * Vj * Vj * 10 / dt
-
-    value = results.get("dgstgcn_infer_fps_b16")
-    if value is None:   # no honest headline -> fail loudly, no fake numbers
-        _mark("FATAL: headline metric missing")
-        sys.exit(1)
-    baseline_2080ti = 409.0  # BASELINE.md: DGSTGCN FPS on RTX 2080Ti
-    print(json.dumps({
-        "metric": "dgstgcn_infer_fps_b16_T100_fp32",
-        "value": round(value, 2),
-        "unit": "samples/s",
-        "vs_baseline": round(value / baseline_2080ti, 3),
-        "device": getattr(dev, "device_kind", str(dev)),
-        **{k: round(float(v), 2) for k, v in results.items()},
-    }))
-
 
 if __name__ == "__main__":
     main()

@@ -36,13 +36,23 @@ def _load_xspaces(logdir: str):
     return spaces
 
 
-def op_table(logdir: str, plane_substr: str = "TPU"
+#: Device-plane line names that duplicate op time (whole-step spans) rather
+#: than carrying leaf XLA ops.  Matched EXACTLY (case-insensitive) — a
+#: substring heuristic would silently drop op lines whose names merely
+#: contain 'step' (ADVICE r3).
+STEP_LINE_NAMES = frozenset({"steps", "step", "xla modules", "framework ops"})
+
+
+def op_table(logdir: str, plane_substr: str = "TPU",
+             skip_lines: frozenset = STEP_LINE_NAMES,
              ) -> List[Tuple[str, float, int]]:
     """[(op_name, total_ms, count)] sorted by time desc, from device planes.
 
     Aggregates leaf XEvents on every line of planes whose name contains
     ``plane_substr`` (e.g. '/device:TPU:0').  jax/XLA op-trace events carry
-    the fused-computation name; identical names are summed.
+    the fused-computation name; identical names are summed.  Lines whose
+    (lowercased) name is in ``skip_lines`` are whole-step/module spans that
+    would double-count the ops under them.
     """
     totals: Dict[str, float] = collections.defaultdict(float)
     counts: Dict[str, int] = collections.defaultdict(int)
@@ -54,7 +64,7 @@ def op_table(logdir: str, plane_substr: str = "TPU"
             for line in plane.lines:
                 # op-trace lines carry XLA ops; step lines duplicate time
                 lname = (line.display_name or line.name).lower()
-                if "step" in lname:
+                if lname in skip_lines:
                     continue
                 for ev in line.events:
                     md = meta.get(ev.metadata_id)
