@@ -156,7 +156,8 @@ def main():
         "vs_baseline": (round(value / baseline_2080ti, 3)
                         if value is not None else None),
         "device": getattr(dev, "device_kind", str(dev)),
-        **{k: (round(float(v), 2) if isinstance(v, (int, float)) else v)
+        **{k: (round(float(v), 2 if abs(float(v)) >= 0.05 else 6)
+               if isinstance(v, (int, float)) else v)
            for k, v in results.items()},
     }
     if error is not None:
@@ -169,7 +170,6 @@ def _run(dev, results):
     import jax.numpy as jnp
     from dsgcn_tpu.core.train import TrainState, make_optimizer, train_step
     from dsgcn_tpu.models.builder import build_named_model
-    from dsgcn_tpu.models.recognizer import RecognizerGCN
 
     peak = PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), 197.0) * 1e12
 
@@ -367,15 +367,27 @@ def _run(dev, results):
     except Exception as e:
         _mark(f"dsgcn: xla path failed ({e!r})")
 
-    # bf16 saturated inference: params pre-cast ONCE (bf16 weights in HBM) —
-    # per-call f32->bf16 casts double the weight traffic and lose to fp32
+    # bf16 saturated inference via the production serving helper (params
+    # pre-cast ONCE — per-call f32->bf16 casts double the weight traffic
+    # and lose to fp32)
     try:
-        model_bf16 = RecognizerGCN(backbone=model.backbone, head=model.head,
-                                   compute_dtype="bfloat16")
-        vb = {"params": jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-            variables["params"]),
-            "batch_stats": variables.get("batch_stats", {})}
+        from dsgcn_tpu.apis import to_bf16_inference
+        model_bf16, vb = to_bf16_inference(
+            model, {"params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {})})
+        # end-to-end bf16-vs-f32 parity ON CHIP (the CPU test suite cannot
+        # execute bf16 dots — tests/test_bf16_inference.py skips there):
+        # top-1 agreement fraction + relative logit delta on the b16 batch
+        lg32 = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False))(
+            variables, x16)
+        lg16 = jax.jit(lambda v_, x_: model_bf16.apply(v_, x_, train=False))(
+            vb, x16)
+        agree = jax.jit(lambda a, b: jnp.mean(
+            (jnp.argmax(a, -1) == jnp.argmax(b, -1)).astype(jnp.float32)))
+        rel = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b))
+                      / (jnp.max(jnp.abs(b)) + 1e-9))
+        results["dsgcn_bf16_top1_match_frac"] = float(agree(lg16, lg32))
+        results["dsgcn_bf16_logit_rel"] = float(rel(lg16, lg32))
         fwd = jax.jit(
             lambda v_, x_: model_bf16.apply(v_, x_, train=False).sum())
         # bf16 batch sweep (the production inference path): monotone in

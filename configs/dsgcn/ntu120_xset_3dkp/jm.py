@@ -1,0 +1,43 @@
+# DS-GCN jm stream, ntu120_xset (reference
+# configs/dsstgcn/ntu120_xset_3dkp/jm.py recipe)
+_base_ = ['../DSGCN_120_model.py']
+modality = 'jm'
+clip_len = 60
+dataset_type = 'PoseDataset'
+ann_file = 'data/nturgbd/ntu120_3danno.pkl'
+train_pipeline = [
+    dict(type='PreNormalize3D', align_spine=False),
+    dict(type='RandomRot', theta=0.2),
+    dict(type='GenSkeFeat', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput'),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+val_pipeline = [
+    dict(type='PreNormalize3D', align_spine=False),
+    dict(type='GenSkeFeat', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len, num_clips=1, test_mode=True),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput'),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+test_pipeline = [
+    dict(type='PreNormalize3D', align_spine=False),
+    dict(type='GenSkeFeat', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len, num_clips=10, test_mode=True),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput'),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+data = dict(
+    videos_per_gpu=128,
+    workers_per_gpu=8,
+    test_dataloader=dict(videos_per_gpu=32),
+    train=dict(type=dataset_type, ann_file=ann_file, pipeline=train_pipeline,
+               split='xset_train'),
+    val=dict(type=dataset_type, ann_file=ann_file, pipeline=val_pipeline,
+             split='xset_val'),
+    test=dict(type=dataset_type, ann_file=ann_file, pipeline=test_pipeline,
+              split='xset_val'))
+total_epochs = 150

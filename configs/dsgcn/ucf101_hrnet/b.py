@@ -1,0 +1,46 @@
+# DS-GCN b stream, ucf101_hrnet hrnet-coco (reference
+# configs/dsstgcn/ucf101_hrnet/b.py; split names corrected — see
+# tools/gen_config_zoo.py)
+_base_ = ['../DSGCN_coco_model.py']
+modality = 'b'
+clip_len = 100
+model = dict(cls_head=dict(num_classes=101))
+dataset_type = 'PoseDataset'
+ann_file = 'data/ucf101/ucf101_hrnet.pkl'
+train_pipeline = [
+    dict(type='PreNormalize2D'),
+    dict(type='GenSkeFeat', dataset='coco', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput', num_person=2),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+val_pipeline = [
+    dict(type='PreNormalize2D'),
+    dict(type='GenSkeFeat', dataset='coco', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len, num_clips=1, test_mode=True),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput', num_person=2),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+test_pipeline = [
+    dict(type='PreNormalize2D'),
+    dict(type='GenSkeFeat', dataset='coco', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len, num_clips=10, test_mode=True),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput', num_person=2),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+data = dict(
+    videos_per_gpu=32,
+    workers_per_gpu=4,
+    test_dataloader=dict(videos_per_gpu=32),
+    train=dict(type='RepeatDataset', times=5,
+               dataset=dict(type=dataset_type, ann_file=ann_file,
+                            pipeline=train_pipeline, split='train1')),
+    val=dict(type=dataset_type, ann_file=ann_file, pipeline=val_pipeline,
+             split='test1'),
+    test=dict(type=dataset_type, ann_file=ann_file, pipeline=test_pipeline,
+              split='test1'))
+total_epochs = 16
+checkpoint_config = dict(interval=1)

@@ -1,0 +1,46 @@
+# stgcnpp b stream, ntu60_xsub hrnet-coco 2D keypoints (reference
+# configs/stgcn++/stgcn++_ntu60_xsub_hrnet/b.py pipeline)
+_base_ = ['../STGCNPP_60_coco_model.py']
+modality = 'b'
+clip_len = 100
+dataset_type = 'PoseDataset'
+ann_file = 'data/nturgbd/ntu60_hrnet.pkl'
+train_pipeline = [
+    dict(type='PreNormalize2D'),
+    dict(type='GenSkeFeat', dataset='coco', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput', num_person=2),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+val_pipeline = [
+    dict(type='PreNormalize2D'),
+    dict(type='GenSkeFeat', dataset='coco', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len, num_clips=1,
+         test_mode=True),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput', num_person=2),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+test_pipeline = [
+    dict(type='PreNormalize2D'),
+    dict(type='GenSkeFeat', dataset='coco', feats=[modality]),
+    dict(type='UniformSample', clip_len=clip_len, num_clips=10,
+         test_mode=True),
+    dict(type='PoseDecode'),
+    dict(type='FormatGCNInput', num_person=2),
+    dict(type='Collect', keys=['keypoint', 'label']),
+]
+data = dict(
+    videos_per_gpu=16,
+    workers_per_gpu=2,
+    test_dataloader=dict(videos_per_gpu=16),
+    train=dict(type='RepeatDataset', times=5,
+               dataset=dict(type=dataset_type, ann_file=ann_file,
+                            pipeline=train_pipeline, split='xsub_train')),
+    val=dict(type=dataset_type, ann_file=ann_file, pipeline=val_pipeline,
+             split='xsub_val'),
+    test=dict(type=dataset_type, ann_file=ann_file, pipeline=test_pipeline,
+              split='xsub_val'))
+total_epochs = 16
+checkpoint_config = dict(interval=1)

@@ -44,6 +44,28 @@ def init_recognizer(config, work_dir: Optional[str] = None,
     return model, state, cfg
 
 
+def to_bf16_inference(model, variables):
+    """The production serving path: (model', variables') running bf16 compute
+    with bf16 weights resident in HBM.
+
+    Params are cast ONCE (per-call f32->bf16 casts double the weight traffic
+    and lose to fp32 — bench.py note), and the recognizer's ``compute_dtype``
+    casts inputs/activations so every matmul runs at the MXU bf16 rate.
+    BatchNorm statistics stay f32 (they fold into affines at trace time; the
+    fold happens in f32 before the cast to compute dtype).  Top-1 parity with
+    the f32 path is asserted end-to-end in tests/test_bf16_inference.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bf16_model = model.clone(compute_dtype="bfloat16")
+    cast = lambda a: (a.astype(jnp.bfloat16)                    # noqa: E731
+                      if hasattr(a, "dtype") and a.dtype == jnp.float32 else a)
+    bf16_vars = dict(variables)
+    bf16_vars["params"] = jax.tree.map(cast, variables["params"])
+    return bf16_model, bf16_vars
+
+
 def inference_recognizer(model, state, anno: Dict, test_pipeline=None,
                          cfg=None, topk: int = 5,
                          average_clips: str = "prob") -> List[Tuple[int, float]]:

@@ -352,9 +352,18 @@ def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 
 
 def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
-                                v=25, c=3, seed=0, path=None):
-    """Synthetic NTU-like annotations for tests/benchmarks (no real data in CI)."""
+                                v=25, c=3, seed=0, path=None,
+                                layout="nturgb+d"):
+    """Synthetic NTU-like annotations for tests/benchmarks (no real data in CI).
+
+    ``layout='coco'`` emits hrnet-style 2D annotations instead: pixel-space
+    (m, t, 17, 2) keypoints + (m, t, 17) scores + img_shape, the schema the
+    PreNormalize2D / coco-GenSkeFeat pipelines consume.
+    """
     rng = np.random.default_rng(seed)
+    coco = layout == "coco"
+    if coco:
+        v, c = 17, 2
     annos = []
     for i in range(num_samples):
         label = int(rng.integers(num_classes))
@@ -362,8 +371,15 @@ def make_synthetic_pose_dataset(num_samples=64, num_classes=10, m=2, t=80,
         # (PreNormalize3D) and random rotations (norm-preserving)
         kp = (rng.standard_normal((m, t, v, c)) * (1.0 + 0.75 * label)
               ).astype(np.float32)
-        annos.append(dict(frame_dir=f"S{i:05d}", label=label, keypoint=kp,
-                          total_frames=t))
+        a = dict(frame_dir=f"S{i:05d}", label=label, keypoint=kp,
+                 total_frames=t)
+        if coco:
+            a["keypoint"] = (kp * 80.0 + np.float32([960, 540])
+                             ).astype(np.float32)
+            a["keypoint_score"] = rng.uniform(
+                0.3, 1.0, size=(m, t, v)).astype(np.float32)
+            a["img_shape"] = (1080, 1920)
+        annos.append(a)
     data = dict(split={"train": [a["frame_dir"] for a in annos[: num_samples * 3 // 4]],
                        "val": [a["frame_dir"] for a in annos[num_samples * 3 // 4:]]},
                 annotations=annos)

@@ -26,13 +26,35 @@ ZOO_FAMILIES = ("stgcn", "stgcnpp", "aagcn", "ctrgcn")
 
 
 def test_zoo_covers_every_baseline_row():
-    """4 families x 4 dataset/splits x 4 streams (BASELINE.md rows)."""
+    """4 families x 4 dataset/splits x {3dkp, hrnet} x 4 streams
+    (BASELINE.md rows; hrnet per reference configs/stgcn++/*_hrnet)."""
     for fam in ZOO_FAMILIES:
         for ds in ("ntu60_xsub", "ntu60_xview", "ntu120_xsub", "ntu120_xset"):
-            for mod in ("j", "b", "jm", "bm"):
-                path = os.path.join(ROOT, "configs", fam, f"{ds}_3dkp",
-                                    f"{mod}.py")
-                assert os.path.exists(path), path
+            for kind in ("3dkp", "hrnet"):
+                for mod in ("j", "b", "jm", "bm"):
+                    path = os.path.join(ROOT, "configs", fam,
+                                        f"{ds}_{kind}", f"{mod}.py")
+                    assert os.path.exists(path), path
+
+
+def test_dsgcn_split_and_dataset_breadth():
+    """DS-GCN leaves for every NTU split plus the 2D-skeleton datasets
+    (reference configs/dsstgcn/{ntu*,kinetics400,GYM,Driving48,HMDB51,
+    ucf101}_*)."""
+    dirs = ["ntu60_xsub_3dkp", "ntu60_xview_3dkp", "ntu120_xsub_3dkp",
+            "ntu120_xset_3dkp", "kinetics400_hrnet", "gym_hrnet",
+            "diving48_hrnet", "hmdb51_hrnet", "ucf101_hrnet"]
+    for d in dirs:
+        for mod in ("j", "b", "jm", "bm"):
+            path = os.path.join(ROOT, "configs", "dsgcn", d, f"{mod}.py")
+            assert os.path.exists(path), path
+    # the kinetics leaf must exercise the box_thr/valid_ratio dataset
+    # filters (reference pose_dataset.py:101-124)
+    cfg = Config.fromfile(os.path.join(ROOT, "configs", "dsgcn",
+                                       "kinetics400_hrnet", "j.py"))
+    assert cfg["data"]["train"]["box_thr"] == 0.5
+    assert cfg["data"]["train"]["valid_ratio"] == 0.0
+    assert cfg["model"]["cls_head"]["num_classes"] == 400
 
 
 @pytest.mark.parametrize("path", LEAVES, ids=lambda p: os.path.relpath(
@@ -79,6 +101,48 @@ def test_zoo_family_smoke_trains(fam, tmp_path):
     if kp.ndim == 6:
         kp = kp[:, 0]
     assert kp.shape[2:] == (100, 25, 3)    # clip_len 100 pyskl practice
+
+    params, stats = init_model(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1,) + kp.shape[1:], jnp.float32))
+    tx, _ = make_optimizer(lr=cfg["optimizer"]["lr"], total_steps=4)
+    state = TrainState.create(model.apply, params, stats, tx)
+    step = jax.jit(train_step)
+    losses = []
+    for _ in range(2):
+        state, metrics = step(
+            state, dict(keypoint=jnp.asarray(kp),
+                        label=jnp.asarray(batch["label"])),
+            jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("leaf", ["stgcnpp/ntu60_xsub_hrnet/j.py",
+                                  "dsgcn/gym_hrnet/j.py"])
+def test_hrnet_leaf_smoke_trains(leaf, tmp_path):
+    """An hrnet (coco 2D) leaf end-to-end on synthetic coco-layout
+    annotations: pipeline -> (100, 17, 3) clips -> two optimizer steps
+    (VERDICT r3 #5)."""
+    from dsgcn_tpu.core.train import TrainState, init_model, make_optimizer, \
+        train_step
+    from dsgcn_tpu.data.dataset import Loader, PoseDataset, \
+        make_synthetic_pose_dataset
+
+    cfg = Config.fromfile(os.path.join(ROOT, "configs", leaf))
+    model = build_model(cfg["model"])
+
+    ann = str(tmp_path / "synth_coco.pkl")
+    make_synthetic_pose_dataset(num_samples=8, num_classes=3, t=24, path=ann,
+                                layout="coco")
+    train_cfg = cfg["data"]["train"]["dataset"]
+    ds = PoseDataset(ann, train_cfg["pipeline"], split="train")
+    loader = Loader(ds, batch_size=2, drop_last=True, num_workers=0)
+    batch = next(iter(loader.epoch(0)))
+    kp = batch["keypoint"]
+    if kp.ndim == 6:
+        kp = kp[:, 0]
+    # coco V=17; 2D keypoints + confidence score merge to C=3
+    assert kp.shape[2:] == (100, 17, 3)
 
     params, stats = init_model(model, jax.random.PRNGKey(0),
                                jnp.zeros((1,) + kp.shape[1:], jnp.float32))

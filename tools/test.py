@@ -38,6 +38,10 @@ def parse_args():
                         "(the reference's pool_opt='all' alias is a no-op "
                         "bug upstream — recognizergcn.py:74 compares with "
                         "== — so 'all' maps to 'nmtv' here)")
+    p.add_argument("--bf16", action="store_true",
+                   help="serve in bfloat16 (the production inference path: "
+                        "bf16 weights in HBM, MXU-rate matmuls; top-1 parity "
+                        "with f32 asserted in tests/test_bf16_inference.py)")
     return p.parse_args()
 
 
@@ -128,6 +132,13 @@ def main():
             print(f"graph: {len(per_cls)} per-class means "
                   f"of shape {per_cls[0].shape}")
         return
+
+    if args.bf16:
+        from dsgcn_tpu.apis import to_bf16_inference
+        model, bvars = to_bf16_inference(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats})
+        state = state.replace(params=bvars["params"])
 
     mesh = make_mesh()
     state = replicate(state, mesh)   # restored arrays live on one device
