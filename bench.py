@@ -411,6 +411,22 @@ def _run(dev, results):
     except Exception as e:
         _mark(f"dsgcn: bf16 path failed ({e!r})")
 
+    # jp AOT: certify that the multi-chip joint-partition train step lowers
+    # and compiles for the REAL TPU target (detached v5e topology — no chips
+    # needed; "compiles on the CPU mesh" proved nothing about Mosaic/TPU) and
+    # record its collective footprint from the compiled HLO (VERDICT r3 #4)
+    try:
+        _mark("jp: AOT TPU compile (v5e topology, n_graph=5, t=100)")
+        from dsgcn_tpu.parallel.aot import aot_compile_jp_train
+        jp = aot_compile_jp_train(t=100)
+        results["jp_aot_tpu_ok"] = 1.0
+        for k, v in jp.items():
+            if isinstance(v, (int, float)) and k != "ok":
+                results["jp_aot_" + k.replace("-", "_")] = float(v)
+    except Exception as e:
+        results["jp_aot_tpu_ok"] = 0.0
+        _mark(f"jp AOT section failed ({e!r})")
+
     # edges/s of the DS-GCN dynamic-graph aggregation at saturated batch:
     # every (k, u, v) pair per (sample, person, output frame), 10 stages
     if "dsgcn_infer_fps_b1024" in results:

@@ -50,3 +50,23 @@ def test_padding_exact():
     xp = pad_joints(x, 8, axis=2)
     assert xp.shape[2] == 32
     assert float(xp[:, :, 25:].sum()) == 0.0
+
+
+@pytest.mark.slow
+def test_jp_aot_compiles_for_tpu_target():
+    """The jp DS-GCN train step LOWERS AND COMPILES for the real TPU target
+    (detached v5e topology — Mosaic/XLA-TPU can reject programs the CPU mesh
+    accepts, as the ms_tcn stride-2 kernel demonstrated), with the expected
+    ring-collective footprint: 10 dgphgcn1 blocks x (fwd + bwd) = 20
+    collective-permutes."""
+    try:
+        from dsgcn_tpu.parallel.aot import aot_compile_jp_train
+        stats = aot_compile_jp_train(t=16)
+    except Exception as e:  # no libtpu in some environments — skip, not fail
+        if "tpu" in str(e).lower() or "topology" in str(e).lower():
+            pytest.skip(f"TPU topology tooling unavailable: {e!r}")
+        raise
+    assert stats["ok"]
+    assert stats["n_graph"] == 5
+    assert stats["collective-permute_count"] == 20, stats
+    assert stats["collective-permute_bytes"] > 0
