@@ -518,6 +518,24 @@ class DGGCN(nn.Module):
     ctr_act: str = "tanh"
     use_pallas: bool = False       # fused VMEM graph-build+aggregate kernel
     pallas_interpret: bool = False
+    # eval-time kernel choice, decided by END-TO-END model A/B on v5e
+    # (benchmarks/dyn_kernel_ab.py — in-isolation kernel rankings invert
+    # inside the model):
+    #   'bd'    block-diagonal dense-matmul aggregation (pallas/bd_agg.py);
+    #           pre/post stay XLA flat matmuls.  Wins every dsgcn (K=3)
+    #           stage: 967 vs 686 fps b16 against mega, despite losing the
+    #           isolated-kernel probe at the wide stage.
+    #   'bdps'  per-subset bd (K folded into the grid batch dim) — the
+    #           bounded-inflation form for K=8 widths; e2e ~= fused on
+    #           dgstgcn (530 fps b16), kept as an explicit option.
+    #   'mega'  whole-block kernel (pallas/dggcn_block.py), minimum HBM
+    #           traffic but serialized skinny aggregation matmuls.
+    #   'fused' graph-build+aggregate kernel (pallas/dyn_graph.py) with XLA
+    #           pre/post.  Wins dgstgcn (K=8): 577/703 fps b16/b256 vs
+    #           mega's 529/663.
+    #   'auto'  bd while the full-BD matmul dim V*K*mid stays MXU-friendly
+    #           (<= 2400, i.e. every K=3 stage), else fused.
+    eval_kernel: str = "auto"
     graph_axis: Optional[str] = None   # joint-partition mesh axis
 
     @nn.compact
@@ -575,7 +593,11 @@ class DGGCN(nn.Module):
             from .pallas.dyn_graph import fused_dyn_graph_agg
             a_vec = _gate_vec(alpha, K, 0, K, self.subset_wise)
             b_vec = _gate_vec(beta, K, 0, K, self.subset_wise)
-            if not train and not self.is_initializing():
+            is_eval = not train and not self.is_initializing()
+            ek = self.eval_kernel
+            if ek == "auto":
+                ek = "bd" if V * K * mid <= 2400 else "fused"
+            if is_eval and ek == "mega":
                 # eval: whole block in one kernel (the pre_x/res tensors
                 # computed above become dead code and DCE away)
                 from .pallas.dggcn_block import fused_dggcn_block_eval
@@ -585,10 +607,24 @@ class DGGCN(nn.Module):
                     x, x1[..., 0, :], x2[..., 0, :], w_pre, b_pre, A_param,
                     a_vec, b_vec, w_post, b_post, w_down, b_down,
                     K=K, Cm=mid, interpret=self.pallas_interpret)
-            y = fused_dyn_graph_agg(
-                pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
-                A_param, a_vec, b_vec, None, None, None, K, mid, -1, 15,
-                self.pallas_interpret)
+            if is_eval and ek in ("bd", "bdps"):
+                # 'bd': one dense MXU-shaped aggregation matmul;
+                # 'bdps': K folded into the grid batch dim (per-subset
+                # (T, V*Cm) matmuls) — the viable form at dgstgcn's K=8
+                # widths where full-BD's K*Cm-fold FLOP inflation explodes
+                from .pallas.bd_agg import (bd_dyn_graph_agg,
+                                            bd_dyn_graph_agg_subset)
+                x1t = jnp.transpose(x1[..., 0, :], (0, 1, 3, 2))
+                fn = bd_dyn_graph_agg if ek == "bd" else bd_dyn_graph_agg_subset
+                y = fn(
+                    pre_x.reshape(n, t, v * K * mid), x1t, x2[..., 0, :],
+                    A_param, a_vec, b_vec, K=K, Cm=mid,
+                    interpret=self.pallas_interpret).reshape(n, t, v, K * mid)
+            else:
+                y = fused_dyn_graph_agg(
+                    pre_x.reshape(n, t, v, K * mid), x1[..., 0, :],
+                    x2[..., 0, :], A_param, a_vec, b_vec, None, None, None,
+                    K, mid, -1, 15, self.pallas_interpret)
             y = PointConv(self.out_channels, name="post_conv")(y)
             y = BatchNorm(name="bn")(y, use_running_average=not train)
             return jax.nn.relu(y + res)
@@ -865,6 +901,7 @@ class DGPHGCN1(nn.Module):
     ctr_act: str = "tanh"
     use_pallas: bool = False       # fused VMEM graph-build+aggregate kernel
     pallas_interpret: bool = False
+    eval_kernel: str = "auto"      # 'bd' | 'mega' | 'auto' — see DGGCN
     graph_axis: Optional[str] = None   # joint-partition mesh axis
 
     @nn.compact
@@ -989,8 +1026,12 @@ class DGPHGCN1(nn.Module):
                 edge_k = -1
             a_vec = _gate_vec(alpha, K, sem, norm, subset_wise)
             b_vec = _gate_vec(beta, K, sem, norm, subset_wise)
+            is_eval = not train and not self.is_initializing()
+            ek = self.eval_kernel
+            if ek == "auto":
+                ek = "bd" if V * K * mid <= 2400 else "fused"
 
-            if (not train and not self.is_initializing()
+            if (is_eval and ek == "mega"
                     and not (target_specific and decompose)):
                 # eval: whole block in one kernel (the simple pre_x path and
                 # the res/post tensors computed above become dead code and
@@ -1005,10 +1046,34 @@ class DGPHGCN1(nn.Module):
                     edge_k=edge_k, edge_num=E,
                     interpret=self.pallas_interpret)
 
-            y = fused_dyn_graph_agg(
-                pre_x.reshape(n, t, v, K * mid), x1[..., 0, :], x2[..., 0, :],
-                A_param, a_vec, b_vec, ew, eb, sel, K, mid, edge_k, E,
-                self.pallas_interpret)
+            if is_eval and ek == "bd":
+                # 'bd' aggregation: pre/post stay XLA; the edge-attention
+                # ctr enters via host-projected p1/p2 (linear in the
+                # queries) and a constant transposed bias field.  Works for
+                # the target_specific pre_x too (it is XLA-built above).
+                from .pallas.bd_agg import bd_dyn_graph_agg
+                x1t = jnp.transpose(x1[..., 0, :], (0, 1, 3, 2))
+                kw = dict(K=K, Cm=mid, edge_k=edge_k, edge_num=E)
+                if active_edge:
+                    q1 = x1[:, edge_k, :, 0]              # (N, Cm, V)
+                    q2 = x2[:, edge_k, :, 0]
+                    p1 = jnp.einsum("ncv,cf->nfv", q1, ew).reshape(
+                        n, E, mid, v)
+                    p2 = jnp.einsum("ncv,cf->nfv", q2, ew).reshape(
+                        n, E, mid, v)
+                    ebias = jnp.einsum("evw,ec->vcw", sel,
+                                       eb.reshape(E, mid))
+                    kw.update(p1t=jnp.transpose(p1, (0, 1, 3, 2)), p2=p2,
+                              edge_sel=sel, ebias=ebias)
+                y = bd_dyn_graph_agg(
+                    pre_x.reshape(n, t, v * K * mid), x1t, x2[..., 0, :],
+                    A_param, a_vec, b_vec, interpret=self.pallas_interpret,
+                    **kw).reshape(n, t, v, K * mid)
+            else:
+                y = fused_dyn_graph_agg(
+                    pre_x.reshape(n, t, v, K * mid), x1[..., 0, :],
+                    x2[..., 0, :], A_param, a_vec, b_vec, ew, eb, sel, K,
+                    mid, edge_k, E, self.pallas_interpret)
             y = PointConv(self.out_channels, name="post_conv")(y)
             y = BatchNorm(name="bn")(y, use_running_average=not train)
             return jax.nn.relu(y + res)

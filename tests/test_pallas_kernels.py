@@ -177,3 +177,93 @@ def test_fused_multi_tile_grid(edge, monkeypatch):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# block-diagonal (bd / bdps) eval aggregation kernels
+# ---------------------------------------------------------------------------
+
+def _bd_call(fn, args, K, Cm, edge_k=-1, subset=False):
+    from dsgcn_tpu.ops.pallas.bd_agg import (bd_dyn_graph_agg,
+                                             bd_dyn_graph_agg_subset)
+    pre, x1, x2, A, alpha, beta, ew, eb, sel = args
+    N, T, V, KC = pre.shape
+    pre2 = pre.reshape(N, T, V * KC)
+    x1t = jnp.transpose(x1, (0, 1, 3, 2))
+    if subset:
+        y2 = bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta,
+                                     K=K, Cm=Cm, interpret=True)
+    else:
+        kw = dict(K=K, Cm=Cm, edge_k=edge_k)
+        if edge_k >= 0:
+            E = sel.shape[0]
+            q1, q2 = x1[:, edge_k], x2[:, edge_k]
+            p1 = jnp.einsum("ncv,cf->nfv", q1, ew).reshape(N, E, Cm, V)
+            p2 = jnp.einsum("ncv,cf->nfv", q2, ew).reshape(N, E, Cm, V)
+            ebias = jnp.einsum("evw,ec->vcw", sel, eb.reshape(E, Cm))
+            kw.update(p1t=jnp.transpose(p1, (0, 1, 3, 2)), p2=p2,
+                      edge_sel=sel, ebias=ebias)
+        y2 = bd_dyn_graph_agg(pre2, x1t, x2, A, alpha, beta, interpret=True,
+                              **kw)
+    return y2.reshape(N, T, V, KC)
+
+
+@pytest.mark.parametrize("edge", [False, True])
+def test_bd_matches_reference(edge):
+    """Full-BD densified aggregation == reference (interpret mode), with and
+    without the DS-GCN edge-class attention subset."""
+    K, Cm = 3, 8
+    args = _inputs(edge=edge)
+    got = _bd_call(None, args, K, Cm, edge_k=1 if edge else -1)
+    want = reference_dyn_graph_agg(*args, K=K, Cm=Cm,
+                                   edge_k=1 if edge else -1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("K,Cm", [(8, 16), (3, 8)])
+def test_bd_subset_matches_reference(K, Cm):
+    """Per-subset BD (K folded into the grid batch dim, per-subset A/gates
+    selected dynamically from program_id) == reference."""
+    args = _inputs(K=K, Cm=Cm)
+    got = _bd_call(None, args, K, Cm, subset=True)
+    want = reference_dyn_graph_agg(*args, K=K, Cm=Cm, edge_k=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bd_column_chunking():
+    """V*K*Cm past the VMEM budget splits the output columns into 128-aligned
+    chunks (ragged final chunk padded then sliced) — force a tiny budget via
+    the chunk helper and check the chunked result is identical."""
+    from dsgcn_tpu.ops.pallas import bd_agg
+    K, Cm = 3, 8
+    args = _inputs(K=K, Cm=Cm)
+    want = _bd_call(None, args, K, Cm)
+    orig = bd_agg._col_chunk
+    try:
+        bd_agg._col_chunk = lambda VKC, itemsize, budget=0: 256
+        got = _bd_call(None, args, K, Cm)
+    finally:
+        bd_agg._col_chunk = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bd", "bdps", "fused", "mega"])
+def test_dggcn_eval_kernel_modes_agree(mode):
+    """Every eval_kernel mode of DGGCN produces the same eval output (CPU
+    interpret mode), so the auto dispatch can never change semantics."""
+    from dsgcn_tpu.ops.gcn import DGGCN
+    g = Graph(layout="nturgb+d", mode="random", num_filter=4,
+              init_off=0.04, init_std=0.02, seed=0)
+    A = np.asarray(g.A, np.float32)
+    x = jnp.asarray(RNG.standard_normal((2, 6, 25, 16)).astype(np.float32))
+    ref_mod = DGGCN(out_channels=16, A_init=A, ratio=0.5, use_pallas=False)
+    v = ref_mod.init(jax.random.PRNGKey(0), x, train=False)
+    want = ref_mod.apply(v, x, train=False)
+    mod = DGGCN(out_channels=16, A_init=A, ratio=0.5, use_pallas=True,
+                pallas_interpret=True, eval_kernel=mode)
+    got = mod.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
