@@ -411,6 +411,42 @@ def _run(dev, results):
     except Exception as e:
         _mark(f"dsgcn: bf16 path failed ({e!r})")
 
+    # dgstgcn bf16 serving: same protocol as the dsgcn section (params cast
+    # once, on-chip top-1/logit parity, then the fps sweep).  The b16 row is
+    # the serving-dtype counterpart of the official 2080Ti-headline batch.
+    try:
+        model_dg, vdg = models.get("dgstgcn", (None, None))
+        assert model_dg is not None, "dgstgcn model unavailable"
+        from dsgcn_tpu.apis import to_bf16_inference
+        mdg16, vdg16 = to_bf16_inference(
+            model_dg, {"params": vdg["params"],
+                       "batch_stats": vdg.get("batch_stats", {})})
+        lg32 = jax.jit(lambda v_, x_: model_dg.apply(v_, x_, train=False))(
+            vdg, x16)
+        lg16 = jax.jit(lambda v_, x_: mdg16.apply(v_, x_, train=False))(
+            vdg16, x16)
+        agree = jax.jit(lambda a, b: jnp.mean(
+            (jnp.argmax(a, -1) == jnp.argmax(b, -1)).astype(jnp.float32)))
+        rel = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b))
+                      / (jnp.max(jnp.abs(b)) + 1e-9))
+        results["dgstgcn_bf16_top1_match_frac"] = float(agree(lg16, lg32))
+        results["dgstgcn_bf16_logit_rel"] = float(rel(lg16, lg32))
+        fwd16 = jax.jit(
+            lambda v_, x_: mdg16.apply(v_, x_, train=False).sum())
+        _mark("dgstgcn: bf16 infer b16")
+        dtb, _, _ = _bench_scalar_stats(fwd16, (vdg16, x16), iters=12,
+                                        reps=9)
+        results["dgstgcn_infer_fps_b16_bf16"] = 16 / dtb
+        for b in (64, 256):
+            _mark(f"dgstgcn: bf16 infer b{b}")
+            dtb = _bench_scalar(fwd16, (vdg16, x1k[:b]), iters=8)
+            results[f"dgstgcn_infer_fps_b{b}_bf16"] = b / dtb
+        results["dgstgcn_infer_fps_bf16_saturated"] = max(
+            results.get(f"dgstgcn_infer_fps_b{b}_bf16", 0.0)
+            for b in (64, 256))
+    except Exception as e:
+        _mark(f"dgstgcn: bf16 path failed ({e!r})")
+
     # jp AOT: certify that the multi-chip joint-partition train step lowers
     # and compiles for the REAL TPU target (detached v5e topology — no chips
     # needed; "compiles on the CPU mesh" proved nothing about Mosaic/TPU) and

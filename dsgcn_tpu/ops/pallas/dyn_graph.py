@@ -245,6 +245,13 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
         out_specs=pl.BlockSpec((1, tt, V, KC), lambda n, t: (n, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, T, V, KC), pre_x.dtype),
+        # bf16 serving at small N: XLA may stage the (sub-16MB-looking)
+        # custom-call OUTPUT buffer itself in scoped vmem, overflowing the
+        # default 16 MB limit together with the kernel's stack — raise the
+        # per-call scoped budget (v5e has 128 MB VMEM) instead of losing
+        # the placement
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 

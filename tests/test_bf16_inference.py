@@ -102,3 +102,20 @@ def test_bf16_params_cast_once():
     assert all(a.dtype == jnp.float32
                for a in jax.tree.leaves(v16["batch_stats"])
                if np.issubdtype(a.dtype, np.floating))
+
+
+def test_bf16_eval_matches_f32_dgstgcn():
+    """Same serving contract for the DG-STGCN family (K=8 dggcn + dgmstcn):
+    the on-chip counterpart runs every round in bench.py
+    (``dgstgcn_bf16_top1_match_frac`` / ``dgstgcn_bf16_logit_rel``)."""
+    model, variables, x = _trained_model("dgstgcn")
+    logits32 = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+        variables, x)
+    m16, v16 = to_bf16_inference(model, variables)
+    logits16 = _bf16_apply(m16, v16, x)
+    assert logits16.dtype == jnp.float32
+    l32, l16 = np.asarray(logits32), np.asarray(logits16)
+    assert (l32.argmax(-1) == l16.argmax(-1)).all(), \
+        "bf16 top-1 diverged from f32"
+    rel = np.abs(l32 - l16).max() / (np.abs(l32).max() + 1e-9)
+    assert rel < 5e-2, f"bf16 logit delta too large: {rel:.3f}"
