@@ -705,12 +705,15 @@ class DGGCN(nn.Module):
             pre_next = jax.lax.ppermute(pre_cur, axis, perm)
             y = y + jnp.einsum(
                 "ntvkc,nkcvw->ntwkc", pre_cur, Gc,
-                preferred_element_type=accum_dtype(x.dtype)).astype(y.dtype)
+                preferred_element_type=accum_dtype(x.dtype))
             return y, pre_next
 
-        y0 = jnp.zeros((n, t, vl, K, mid), x.dtype)
+        # accumulate the ring in the accum dtype and cast ONCE after the
+        # loop: a bf16 carry would take G roundings vs the unsharded single
+        # f32-accumulated contraction (ADVICE r3)
+        y0 = jnp.zeros((n, t, vl, K, mid), accum_dtype(x.dtype))
         y, _ = jax.lax.fori_loop(0, G, step, (y0, pre_x))
-        return y.reshape(n, t, vl, K * mid)
+        return y.astype(x.dtype).reshape(n, t, vl, K * mid)
 
 
 def _dispatch_contract(pre_x: Array, A6: Array, ctr, ada) -> Array:

@@ -214,7 +214,11 @@ def bd_dyn_graph_agg(pre2, x1t, x2, A, alpha, beta, p1t=None, p2=None,
         out_shape=jax.ShapeDtypeStruct((N, T, nc * chunk), pre2.dtype),
         scratch_shapes=[pltpu.VMEM((VKC, V), jnp.float32)],   # cached G2d
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # headroom over the default 16 MB scoped limit: the M temporaries
+            # ride the tuned _col_chunk budget, but XLA's own stack (copies,
+            # double-buffered blocks) overflowed by ~40 KB at V*K*Cm=12800
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out if nc * chunk == VKC else out[..., :VKC]
@@ -276,7 +280,11 @@ def bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta, *, K, Cm,
         out_shape=jax.ShapeDtypeStruct((N * K, T, nc * chunk), pre2.dtype),
         scratch_shapes=[pltpu.VMEM((VC, V), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # headroom over the default 16 MB scoped limit: the M temporaries
+            # ride the tuned _col_chunk budget, but XLA's own stack (copies,
+            # double-buffered blocks) overflowed by ~40 KB at V*K*Cm=12800
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(pre_ps, x1ps, x2ps, A.astype(f32), gates)
     y = out if nc * chunk == VC else out[..., :VC]
