@@ -43,7 +43,8 @@ def export_recognizer(model, variables, path: str, *,
                       polymorphic: bool = True,
                       platforms: Optional[Sequence[str]] = None,
                       average_clips: str = "prob",
-                      num_classes: Optional[int] = None) -> Dict:
+                      num_classes: Optional[int] = None,
+                      serve_dtype: str = "float32") -> Dict:
     """Export ``model.apply(variables, x, train=False)`` to ``path``.
 
     ``sample_shape`` is the per-sample input shape WITHOUT the batch axis
@@ -53,11 +54,21 @@ def export_recognizer(model, variables, path: str, *,
     whose grid needs a concrete N), one module per entry of ``batch_sizes``
     is written instead.  ``platforms`` forwards to ``jax.export.export``
     (e.g. ``["tpu", "cpu"]`` to cross-lower); None = current backend.
+
+    ``serve_dtype='bfloat16'`` exports the production bf16 serving path
+    (``apis.to_bf16_inference``: weights embedded as bf16, activations in
+    bf16, f32 logits; input stays float32) — the on-chip top-1 parity gate
+    for it runs every bench (``*_bf16_top1_match_frac``).
     Returns the manifest dict.
     """
     import jax
     import jax.numpy as jnp
     from jax import export as jex
+
+    assert serve_dtype in ("float32", "bfloat16"), serve_dtype
+    if serve_dtype == "bfloat16":
+        from .apis import to_bf16_inference
+        model, variables = to_bf16_inference(model, variables)
 
     os.makedirs(path, exist_ok=True)
     jfn = jax.jit(_eval_fn(model, variables))
@@ -96,6 +107,7 @@ def export_recognizer(model, variables, path: str, *,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "sample_shape": list(sample_shape),
         "input_dtype": "float32",
+        "serve_dtype": serve_dtype,
         "polymorphic_batch": poly_ok,
         "batch_sizes": None if poly_ok else [int(n) for n in batch_sizes],
         "out_shape": list(out_shape),

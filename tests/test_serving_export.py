@@ -155,3 +155,27 @@ def test_train_then_export_cli(tmp_path):
     clips = np.random.default_rng(0).standard_normal(
         (2, *served.manifest["sample_shape"])).astype(np.float32)
     assert served.predict(clips).shape == (10,)
+
+
+def test_export_bf16_serving(small_model, tmp_path):
+    """serve_dtype='bfloat16' exports the production bf16 path: manifest
+    records it, the artifact round-trips, and (on backends that execute
+    bf16 dots) logits come back f32 and top-1 matches the f32 artifact."""
+    model, variables = small_model
+    out = str(tmp_path / "art16")
+    man = export_recognizer(model, variables, out, sample_shape=(M, T, V, C),
+                            num_classes=NCLS, serve_dtype="bfloat16")
+    assert man["serve_dtype"] == "bfloat16"
+    assert man["input_dtype"] == "float32"
+
+    served = load_exported(out)
+    x = _x(4, seed=1)
+    try:
+        got = served.logits(x)
+    except Exception as e:  # noqa: BLE001 — XLA:CPU compiles but cannot
+        if "BF16" in str(e):  # execute BF16 dots; chip runs cover this in
+            return            # bench (*_bf16_top1_match_frac)
+        raise
+    assert got.dtype == np.float32
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    assert (got.argmax(-1) == want.argmax(-1)).all()

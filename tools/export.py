@@ -24,6 +24,9 @@ def parse_args():
     p.add_argument("--no-poly", action="store_true",
                    help="force per-batch-size modules")
     p.add_argument("--platforms", nargs="+", default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="export the bf16 serving path (weights embedded as "
+                        "bf16, f32 logits; see apis.to_bf16_inference)")
     p.add_argument("--clip-len", type=int, default=None,
                    help="override T in the exported input shape (default: "
                         "from the test pipeline's UniformSampleFrames)")
@@ -68,6 +71,7 @@ def main():
         model, variables, args.out, sample_shape=(m, t, v, c),
         batch_sizes=args.batch, polymorphic=not args.no_poly,
         platforms=args.platforms,
+        serve_dtype="bfloat16" if args.bf16 else "float32",
         average_clips=cfg["model"].get("test_cfg", {}).get(
             "average_clips", "prob"))
     print(f"exported -> {args.out}")
