@@ -596,7 +596,16 @@ class DGGCN(nn.Module):
             is_eval = not train and not self.is_initializing()
             ek = self.eval_kernel
             if ek == "auto":
-                ek = "bd" if V * K * mid <= 2400 else "fused"
+                # bd while the densified matmul stays MXU-friendly; at the
+                # widest K=8 stage (Cm=64, T=25) grouped-bd (g=32) beats the
+                # fused kernel 60 vs 100 us/sample (MXU fill at 25 rows caps
+                # the factored form); elsewhere fused wins e2e
+                if V * K * mid <= 2400:
+                    ek = "bd"
+                elif mid >= 64:
+                    ek = "bdg"
+                else:
+                    ek = "fused"
             if is_eval and ek == "mega":
                 # eval: whole block in one kernel (the pre_x/res tensors
                 # computed above become dead code and DCE away)
@@ -607,18 +616,25 @@ class DGGCN(nn.Module):
                     x, x1[..., 0, :], x2[..., 0, :], w_pre, b_pre, A_param,
                     a_vec, b_vec, w_post, b_post, w_down, b_down,
                     K=K, Cm=mid, interpret=self.pallas_interpret)
-            if is_eval and ek in ("bd", "bdps"):
+            if is_eval and ek in ("bd", "bdps", "bdg"):
                 # 'bd': one dense MXU-shaped aggregation matmul;
-                # 'bdps': K folded into the grid batch dim (per-subset
-                # (T, V*Cm) matmuls) — the viable form at dgstgcn's K=8
-                # widths where full-BD's K*Cm-fold FLOP inflation explodes
+                # 'bdps'/'bdg': K (and for bdg channel groups of size g=32)
+                # folded into the grid batch dim — the bounded-inflation
+                # forms at dgstgcn's K=8 widths where full-BD's K*Cm-fold
+                # FLOP inflation explodes
                 from .pallas.bd_agg import (bd_dyn_graph_agg,
                                             bd_dyn_graph_agg_subset)
                 x1t = jnp.transpose(x1[..., 0, :], (0, 1, 3, 2))
-                fn = bd_dyn_graph_agg if ek == "bd" else bd_dyn_graph_agg_subset
+                kwg = {}
+                if ek != "bd":
+                    fn = bd_dyn_graph_agg_subset
+                    if ek == "bdg":
+                        kwg["g"] = min(32, mid)
+                else:
+                    fn = bd_dyn_graph_agg
                 y = fn(
                     pre_x.reshape(n, t, v * K * mid), x1t, x2[..., 0, :],
-                    A_param, a_vec, b_vec, K=K, Cm=mid,
+                    A_param, a_vec, b_vec, K=K, Cm=mid, **kwg,
                     interpret=self.pallas_interpret).reshape(n, t, v, K * mid)
             else:
                 y = fused_dyn_graph_agg(

@@ -62,12 +62,19 @@ def _iota2(shape, dim):
 
 def _kernel(pre_ref, x1t_ref, x2_ref, A_ref, gates_ref, *rest,
             K: int, Cm: int, edge_k: int, edge_num: int, chunk: int,
-            n_subsets: int = 1):
+            n_subsets: int = 1, subset_div: int = 1):
     if edge_k >= 0:
         p1t_ref, p2_ref, sel_ref, ebias_ref, out_ref, g_scr = rest
+        ada_ref = None
+    elif n_subsets > 1:
+        # subset/group mode: ada arrives precomputed (the outer-product
+        # attention contracts over the subset's FULL Cm — a g-channel grid
+        # step cannot rebuild it from its slice)
+        ada_ref, out_ref, g_scr = rest
+        p1t_ref = p2_ref = sel_ref = ebias_ref = None
     else:
         out_ref, g_scr = rest
-        p1t_ref = p2_ref = sel_ref = ebias_ref = None
+        p1t_ref = p2_ref = sel_ref = ebias_ref = ada_ref = None
 
     f32 = jnp.float32
     KC = K * Cm
@@ -75,9 +82,11 @@ def _kernel(pre_ref, x1t_ref, x2_ref, A_ref, gates_ref, *rest,
     t_id = pl.program_id(1)
     c_id = pl.program_id(2)
     j0 = c_id * chunk                       # first output column of this step
-    # per-subset mode: grid dim 0 runs over N*n_subsets (subset minor); the
-    # per-subset adjacency/gates are selected dynamically
-    kq = pl.program_id(0) % n_subsets if n_subsets > 1 else None
+    # per-subset mode: grid dim 0 runs over N*n_subsets*subset_div (channel
+    # group minor, subset next); the per-subset adjacency/gates are selected
+    # dynamically
+    kq = ((pl.program_id(0) // subset_div) % n_subsets
+          if n_subsets > 1 else None)
 
     # ---- G2d (V*KC, W): graph build, cached in scratch across the
     # (t, col-chunk) sweep of each sample (it depends on n only; rebuilding
@@ -95,10 +104,13 @@ def _kernel(pre_ref, x1t_ref, x2_ref, A_ref, gates_ref, *rest,
             else:
                 A_k = A_ref[k]
                 alpha_k, beta_k = gates_ref[0, k], gates_ref[1, k]
-            raw = jax.lax.dot_general(
-                x1k, x2k, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32)     # (V, W)
-            ada = jax.nn.softmax(raw, axis=0)
+            if ada_ref is not None:
+                ada = ada_ref[0]                # (V, W) precomputed
+            else:
+                raw = jax.lax.dot_general(
+                    x1k, x2k, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)     # (V, W)
+                ada = jax.nn.softmax(raw, axis=0)
             if k == edge_k:
                 # edge-class attention ctr (one subset): per-class static
                 # loop keeps every temp at (V, Cm, W)
@@ -225,30 +237,41 @@ def bd_dyn_graph_agg(pre2, x1t, x2, A, alpha, beta, p1t=None, p2=None,
 
 
 def bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta, *, K, Cm,
-                            interpret=False):
-    """Per-subset block-diagonal aggregation: same contract/layout as
-    bd_dyn_graph_agg, but K is folded into the grid's batch dim so each
-    step runs ONE (T, V*Cm) x (V*Cm, V*Cm) matmul with its subset's
-    graph selected dynamically (A/gates indexed by program_id % K).
+                            g=None, interpret=False):
+    """Per-subset / per-channel-group block-diagonal aggregation: same
+    contract/layout as bd_dyn_graph_agg, but K (and optionally channel
+    groups of size ``g`` within each subset) fold into the grid's batch dim
+    so each step runs ONE (T, V*g) x (V*g, V*g) matmul with its subset's
+    graph selected dynamically (A/gates indexed via program_id).
 
-    FLOP inflation drops from (K*Cm)-fold to Cm-fold, which is what makes
-    the wide DG-STGCN stages (K=8, V*K*Cm up to 12800 at C=256 — where the
-    full-BD M would be 12800^2 and 512x inflated) viable: per-subset the
-    matmul dim is V*Cm <= 1600 and inflation <= 64x on the (tiny) factored
-    aggregation term.  The subset-major relayouts of pre/y are two XLA
-    transpose passes (bandwidth-bound) — no edge-attention support (only
-    dgphgcn1 has it, and its K=3 stages take the full-BD path)."""
+    FLOP inflation drops from (K*Cm)-fold to g-fold (g=Cm by default),
+    which is what makes the wide DG-STGCN stages (K=8, V*K*Cm up to 12800
+    at C=256 — where the full-BD M would be 12800^2 and 512x inflated)
+    viable.  At the widest stage (Cm=64, T=25) the per-subset matmul
+    ((25, 1600) x (1600, 1600)) is MXU-fill-bound at 25 rows, so smaller
+    groups win: g=32 measures 60 vs 107 (g=64) vs 100 (fused) us/sample
+    (benchmarks/bd_agg_probe.py sim, v5e).  The group-major relayouts of
+    pre/y are two XLA transpose passes (bandwidth-bound) — no
+    edge-attention support (only dgphgcn1 has it, and its K=3 stages take
+    the full-BD path)."""
     N, T, VKC = pre2.shape
     V = A.shape[-1]
     assert VKC == V * K * Cm, (VKC, V, K, Cm)
+    g = g or Cm
+    assert Cm % g == 0 and g % 8 == 0, (Cm, g)
+    G2 = Cm // g
     f32 = jnp.float32
-    pre_ps = pre2.reshape(N, T, V, K, Cm).transpose(0, 3, 1, 2, 4)
-    pre_ps = pre_ps.reshape(N * K, T, V * Cm)
-    x1ps = x1t.astype(f32).reshape(N * K, 1, V, Cm)
-    x2ps = x2.astype(f32).reshape(N * K, 1, Cm, V)
+    pre_ps = pre2.reshape(N, T, V, K, G2, g).transpose(0, 3, 4, 1, 2, 5)
+    pre_ps = pre_ps.reshape(N * K * G2, T, V * g)
+    x1ps = x1t.astype(f32).reshape(N, K, V, G2, g).transpose(0, 1, 3, 2, 4)
+    x1ps = x1ps.reshape(N * K * G2, 1, V, g)
+    x2ps = x2.astype(f32).reshape(N * K * G2, 1, g, V)
     gates = jnp.stack([alpha.astype(f32), beta.astype(f32)])    # (2, K)
+    raw = jnp.einsum("nkvc,nkcw->nkvw", x1t.astype(f32), x2.astype(f32),
+                     preferred_element_type=f32)
+    ada2 = jax.nn.softmax(raw, axis=-2).reshape(N * K, V, V)
 
-    VC = V * Cm
+    VC = V * g
     chunk = _col_chunk(VC, pre2.dtype.itemsize)
     nc = -(-VC // chunk)
     tile_budget = 4 * 2 ** 20
@@ -260,24 +283,27 @@ def bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta, *, K, Cm,
     in_specs = [
         pl.BlockSpec((1, tt, VC), lambda n, t, c: (n, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, V, Cm), lambda n, t, c: (n, 0, 0, 0),
+        pl.BlockSpec((1, 1, V, g), lambda n, t, c: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Cm, V), lambda n, t, c: (n, 0, 0, 0),
+        pl.BlockSpec((1, 1, g, V), lambda n, t, c: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((K, V, V), lambda n, t, c: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2, K), lambda n, t, c: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, V, V), lambda n, t, c: (n // G2, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    kernel = functools.partial(_kernel, K=1, Cm=Cm, edge_k=-1, edge_num=0,
-                               chunk=chunk, n_subsets=K)
+    kernel = functools.partial(_kernel, K=1, Cm=g, edge_k=-1, edge_num=0,
+                               chunk=chunk, n_subsets=K, subset_div=G2)
     out = pl.pallas_call(
         kernel,
-        grid=(N * K, nt, nc),
+        grid=(N * K * G2, nt, nc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tt, chunk), lambda n, t, c: (n, t, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N * K, T, nc * chunk), pre2.dtype),
+        out_shape=jax.ShapeDtypeStruct((N * K * G2, T, nc * chunk),
+                                       pre2.dtype),
         scratch_shapes=[pltpu.VMEM((VC, V), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -286,7 +312,7 @@ def bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta, *, K, Cm,
             # double-buffered blocks) overflowed by ~40 KB at V*K*Cm=12800
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(pre_ps, x1ps, x2ps, A.astype(f32), gates)
+    )(pre_ps, x1ps, x2ps, A.astype(f32), gates, ada2)
     y = out if nc * chunk == VC else out[..., :VC]
-    y = y.reshape(N, K, T, V, Cm).transpose(0, 2, 3, 1, 4)
+    y = y.reshape(N, K, G2, T, V, g).transpose(0, 3, 4, 1, 2, 5)
     return y.reshape(N, T, VKC)

@@ -232,6 +232,29 @@ def test_bd_subset_matches_reference(K, Cm):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("K,Cm,g", [(8, 16, 8), (2, 64, 32), (3, 32, 8)])
+def test_bd_grouped_matches_full_bd(K, Cm, g):
+    """Channel-grouped BD (g < Cm: K*Cm/g grid steps of (T, V*g) matmuls,
+    ada precomputed over the subset's FULL Cm) == the full-BD kernel.
+
+    Compared kernel-to-kernel (5e-8 observed): the f32 XLA reference einsum
+    itself drifts up to ~3e-4 relative on some draws (CPU dot precision),
+    which would mask a real grouping bug at the reference-comparison
+    tolerance."""
+    from dsgcn_tpu.ops.pallas.bd_agg import bd_dyn_graph_agg_subset
+    args = _inputs(K=K, Cm=Cm)
+    pre, x1, x2, A, alpha, beta = args[:6]
+    N, T, V, KC = pre.shape
+    pre2 = pre.reshape(N, T, V * KC)
+    x1t = jnp.transpose(x1, (0, 1, 3, 2))
+    want = _bd_call(None, args, K, Cm)                     # full-BD kernel
+    got = bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta,
+                                  K=K, Cm=Cm, g=g,
+                                  interpret=True).reshape(N, T, V, KC)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_bd_column_chunking():
     """V*K*Cm past the VMEM budget splits the output columns into 128-aligned
     chunks (ragged final chunk padded then sliced) — force a tiny budget via
@@ -250,7 +273,7 @@ def test_bd_column_chunking():
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["bd", "bdps", "fused", "mega"])
+@pytest.mark.parametrize("mode", ["bd", "bdps", "bdg", "fused", "mega"])
 def test_dggcn_eval_kernel_modes_agree(mode):
     """Every eval_kernel mode of DGGCN produces the same eval output (CPU
     interpret mode), so the auto dispatch can never change semantics."""
