@@ -58,13 +58,24 @@ PEAK_TFLOPS = {  # dense MXU peak (bf16), per chip
 }
 
 
-def _bench_scalar_stats(fn, args, iters=6, reps=5):
+def _bench_scalar_stats(fn, args, iters=6, reps=5, min_rep_s=0.0):
     """Per-iteration seconds over >= ``reps`` repetitions: (best, median,
     spread).  ``fn`` must return a scalar; the float() fetch at the end of
     each rep forces the whole queued chain.  ``spread`` = (max-min)/median —
     recorded in the JSON so a noisy tunnel run is visible in the capture
-    instead of silently inflating a best-of headline (round-2 lesson)."""
+    instead of silently inflating a best-of headline (round-2 lesson).
+
+    ``min_rep_s``: floor on each repetition's wall time — after warmup the
+    per-iter cost is estimated from one timed call and ``iters`` is raised so
+    a rep spans at least this long.  The fast zoo families (stgcn ~6 ms/iter)
+    otherwise produce 60 ms reps where host-timer + tunnel jitter shows up as
+    5-13% spread (round-3 weak #6); 0.3 s reps push that under 2%."""
     s = float(fn(*args))   # compile + warm
+    if min_rep_s > 0:
+        t0 = time.perf_counter()
+        s = float(fn(*args))
+        dt_est = max(time.perf_counter() - t0, 1e-6)
+        iters = max(iters, int(np.ceil(min_rep_s / dt_est)))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -194,7 +205,8 @@ def _run(dev, results):
         fwd = jax.jit(lambda v_, x_: eapply(v_, x_).sum())
         _mark(f"{name}: infer b16 (host loop)")
         best, med, spread = _bench_scalar_stats(fwd, (variables, x16),
-                                                iters=12, reps=5)
+                                                iters=12, reps=5,
+                                                min_rep_s=0.4)
         results[f"{name}_infer_fps_b16_hostloop"] = 16 / best
         results[f"{name}_infer_fps_b16_hostloop_med"] = 16 / med
         results[f"{name}_infer_b16_spread_pct"] = 100 * spread
@@ -328,7 +340,8 @@ def _run(dev, results):
                 lambda v_, x_: zmodel.apply(v_, x_, train=False).sum())
             _mark(f"zoo {name}: infer b16")
             best, med, spread = _bench_scalar_stats(zfwd, (zvars, zx),
-                                                    iters=10, reps=9)
+                                                    iters=10, reps=9,
+                                                    min_rep_s=0.3)
             results[f"{key}_infer_fps_b16"] = 16 / best
             results[f"{key}_infer_fps_b16_med"] = 16 / med
             results[f"{key}_infer_b16_spread_pct"] = 100 * spread

@@ -297,10 +297,20 @@ class DGMSTCN(nn.Module):
     graph_axis: Optional[str] = None   # joint-partition mesh axis
     use_pallas: bool = False    # fused eval kernel (ops/pallas/ms_tcn.py)
     pallas_interpret: bool = False
+    # eval layout: 'split' runs the branch stack separately on x and the
+    # (N, T, 1, C) global joint (no 26-joint tensor copy — wins at large
+    # batch); 'concat' appends the global joint as a 26th row and runs the
+    # stack ONCE (half the op count — at small batch the split form's ~80
+    # small ops cost a measured ~0.56 ms/block of batch-independent per-op
+    # overhead, ~5.6 ms of the b16 step).  'auto' picks by effective batch
+    # at trace time (shapes are static under jit).
+    eval_layout: str = "auto"   # 'auto' | 'split' | 'concat'
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         n, t, v, c = x.shape
+        use_split_eval = (self.eval_layout == "split"
+                          or (self.eval_layout == "auto" and n >= 64))
         add_coeff = self.param("add_coeff", nn.initializers.zeros_init(),
                                (self.num_joints,))
         if (self.use_pallas and not train and not self.is_initializing()
@@ -311,7 +321,8 @@ class DGMSTCN(nn.Module):
             # running stats; params are read from the tree the XLA path
             # created at init (identical tree in both modes)
             return _fused_ms_eval(self, x, add_coeff[:v])
-        if self.graph_axis is None and not train and not self.is_initializing():
+        if (self.graph_axis is None and not train
+                and not self.is_initializing() and use_split_eval):
             # eval fast path — exact (every BN here is an affine from running
             # stats and all ops are per-joint/per-channel):
             # 1. the SAME branches module (shared params) runs on x and on
