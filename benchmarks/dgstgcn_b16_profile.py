@@ -40,13 +40,14 @@ def main():
         for _ in range(5):
             out = fwd(variables, x)
         float(out)
-    rows = op_table(logdir)
-    total = sum(r[1] for r in rows)
-    print(f"device total {total/5:.0f} us/iter over 5 iters; top ops:")
+    rows = op_table(logdir)   # (name, total_ms over the 5 traced iters, count)
+    total_ms = sum(r[1] for r in rows)
+    print(f"device total {total_ms/5*1e3:.0f} us/iter over 5 iters; top ops:")
     acc = 0.0
-    for name, us in rows[:25]:
-        acc += us
-        print(f"  {us/5:9.1f} us/iter  {100*us/total:5.1f}%  cum {100*acc/total:5.1f}%  {name[:110]}")
+    for name, t_ms, _count in rows[:25]:
+        acc += t_ms
+        print(f"  {t_ms/5*1e3:9.1f} us/iter  {100*t_ms/total_ms:5.1f}%  "
+              f"cum {100*acc/total_ms:5.1f}%  {name[:110]}")
 
 
 if __name__ == "__main__":

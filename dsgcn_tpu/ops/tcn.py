@@ -308,6 +308,10 @@ class DGMSTCN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
+        if self.eval_layout not in ("auto", "split", "concat"):
+            raise ValueError(
+                f"eval_layout must be 'auto', 'split' or 'concat'; "
+                f"got {self.eval_layout!r}")
         n, t, v, c = x.shape
         use_split_eval = (self.eval_layout == "split"
                           or (self.eval_layout == "auto" and n >= 64))
