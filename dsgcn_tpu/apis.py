@@ -66,6 +66,22 @@ def to_bf16_inference(model, variables):
     return bf16_model, bf16_vars
 
 
+def to_padded_inference(model, variables, v_pad: int = 32):
+    """Joint-padded serving (VERDICT r4 #3): the backbone pads the joint
+    axis 25 -> ``v_pad`` once after data_bn and runs every stage at the
+    f32-sublane-aligned width (the eval path's Pallas copy floor is 244 GB/s
+    at V=32 vs 139 at V=25 — README roofline), then slices back.  Exact on
+    the real joints: padded values are masked out of every aggregation and
+    the ada softmax source-masks them in-kernel (ops/gcn.py ``v_pad``).
+
+    The param tree and the calling convention are UNCHANGED — inputs stay
+    (N, M, T, 25, C) and ``variables`` is reused as-is (A/add_coeff are
+    padded at trace time).  Composes with :func:`to_bf16_inference`.
+    """
+    padded = model.clone(backbone=model.backbone.clone(joint_pad=v_pad))
+    return padded, variables
+
+
 def inference_recognizer(model, state, anno: Dict, test_pipeline=None,
                          cfg=None, topk: int = 5,
                          average_clips: str = "prob") -> List[Tuple[int, float]]:

@@ -373,6 +373,14 @@ class _BackboneBase(nn.Module):
     # The shard count must divide V (5 or 25 for NTU's 25 joints — the body-
     # part granularity suggested in SURVEY §7).
     graph_axis: Optional[str] = None
+    # joint-padded eval mode (VERDICT r4 #3): pad the joint axis 25 -> 32
+    # ONCE after data_bn and run every stage at the f32-sublane-aligned
+    # width (measured Pallas copy floor 244 GB/s vs 139 at V=25 — README
+    # roofline); the output is sliced back so callers and the param tree
+    # are unchanged.  Supported by DGSTGCN only (blocks must mask padded
+    # joints out of graph aggregation — ops/gcn.py v_pad).
+    joint_pad: int = 0
+    _supports_joint_pad = False
 
     def _graph(self) -> Graph:
         return Graph.from_config(self.graph_cfg)
@@ -384,6 +392,13 @@ class _BackboneBase(nn.Module):
         A = graph.A.astype(np.float32)
         x = DataBN(self.data_bn_type, name="data_bn")(x, train=train)
         x = x.reshape(n * m, t, v, c)
+        v_real = v
+        if self.joint_pad:
+            assert self._supports_joint_pad, \
+                f"{type(self).__name__} does not support joint_pad"
+            assert not train, "joint-padded mode is eval-only"
+            assert self.graph_axis is None and self.joint_pad >= v
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, self.joint_pad - v), (0, 0)))
         if self.graph_axis is not None:
             gsz = jax.lax.axis_size(self.graph_axis)
             gi = jax.lax.axis_index(self.graph_axis)
@@ -411,6 +426,8 @@ class _BackboneBase(nn.Module):
                 x = blk(x, train=train)
         if self.graph_axis is not None:
             x = jax.lax.all_gather(x, self.graph_axis, axis=2, tiled=True)
+        if self.joint_pad and self.joint_pad > v_real:
+            x = x[:, :, :v_real]
         return x.reshape((n, m) + x.shape[1:])
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
@@ -577,6 +594,7 @@ class DGSTGCN(_BackboneBase):
     (dgstgcn.py:115-120).
     """
     graph_cfg: GraphConfig = GraphConfig(layout="nturgb+d", mode="random", seed=0)
+    _supports_joint_pad = True
 
     def make_block(self, i, graph, A, in_c, out_c, stride, residual, kwargs):
         kwargs = dict(kwargs)
@@ -588,6 +606,14 @@ class DGSTGCN(_BackboneBase):
             gcn_kwargs["stage"] = lw_index in gcn_stage
         gcn_type = gcn_kwargs.pop("type", "dggcn")
         tcn_type = tcn_kwargs.pop("type", "dgmstcn")
+        if self.joint_pad:
+            assert gcn_type in ("dggcn", "dgphgcn1"), \
+                f"joint_pad unsupported for gcn_type={gcn_type!r}"
+            assert tcn_type in ("dgmstcn", "mstcn", "unit_tcn"), \
+                f"joint_pad unsupported for tcn_type={tcn_type!r}"
+            gcn_kwargs["v_pad"] = self.joint_pad
+            if tcn_type == "dgmstcn":
+                tcn_kwargs["v_pad"] = self.joint_pad
         et = graph.edge_type
         nt = np.array(graph.node_type) if graph.node_type is not None else None
         return DGBlock(out_c, A=A, edge_type=et, node_type=nt, stride=stride,

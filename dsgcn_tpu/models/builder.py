@@ -65,7 +65,7 @@ HEADS = {
 _BACKBONE_FIELDS = {
     "in_channels", "base_channels", "ch_ratio", "num_person", "num_stages",
     "inflate_stages", "down_stages", "data_bn_type", "remat",
-    "semantic_stage", "graph_axis",
+    "semantic_stage", "graph_axis", "joint_pad",
 }
 
 

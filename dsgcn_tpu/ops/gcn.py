@@ -537,11 +537,22 @@ class DGGCN(nn.Module):
     #           (<= 2400, i.e. every K=3 stage), else fused.
     eval_kernel: str = "auto"
     graph_axis: Optional[str] = None   # joint-partition mesh axis
+    # joint-padded eval mode (VERDICT r4 #3): the input arrives zero-padded
+    # to v_pad joints (32 for NTU's 25 — the f32 sublane tile), A/gates stay
+    # at their trained V=25 shapes and are padded at trace time, pre_x is
+    # masked at the padded joints and the ada softmax source-masks them
+    # in-kernel, so aggregation is EXACT on the real joints (reference
+    # gcn.py:2341-2361) while every V-dim HBM tensor moves at the aligned
+    # 244 GB/s copy floor instead of 139 GB/s (README roofline).
+    v_pad: int = 0
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
         K, V, _ = self.A_init.shape
         n, t, v, c = x.shape
+        if self.v_pad:
+            assert not train and self.graph_axis is None and v == self.v_pad \
+                and V <= v, (self.v_pad, v, V, train)
         ratio = self.ratio if self.ratio is not None else 1.0 / K
         mid = int(ratio * self.out_channels)
 
@@ -553,13 +564,25 @@ class DGGCN(nn.Module):
             res = x
 
         A_param = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
+        if self.v_pad and v > V:
+            # pad at trace time: the param tree keeps the trained (K, V, V)
+            A_use = jnp.zeros((K, v, v), A_param.dtype).at[:, :V, :V] \
+                .set(A_param)
+        else:
+            A_use = A_param
         # graph accumulator in reference shape (N, K, Cq, Tq, V, V)
-        A6 = A_param[None, :, None, None]
+        A6 = A_use[None, :, None, None]
 
         pre = PointConv(mid * K, name="pre_conv")(x)
         pre = BatchNorm(name="pre_bn", axis_name=self.graph_axis)(
             pre, use_running_average=not train)
         pre = jax.nn.relu(pre)
+        if self.v_pad and v > V:
+            # zero the padded joints' values: their contribution to every
+            # aggregation target must vanish (conv bias + BN affine made
+            # them nonzero).  Fuses into the relu above.
+            vmask = jnp.asarray(np.arange(v) < V, x.dtype)
+            pre = pre * vmask[None, None, :, None]
         pre_x = pre.reshape(n, t, v, K, mid)
 
         alpha = self.param("alpha", nn.initializers.zeros_init(), (K,))
@@ -594,12 +617,15 @@ class DGGCN(nn.Module):
             a_vec = _gate_vec(alpha, K, 0, K, self.subset_wise)
             b_vec = _gate_vec(beta, K, 0, K, self.subset_wise)
             is_eval = not train and not self.is_initializing()
+            v_real = V if (self.v_pad and v > V) else -1
             ek = self.eval_kernel
             if ek == "auto":
                 # bd while the densified matmul stays MXU-friendly; at the
                 # widest K=8 stage (Cm=64, T=25) grouped-bd (g=32) beats the
                 # fused kernel 60 vs 100 us/sample (MXU fill at 25 rows caps
-                # the factored form); elsewhere fused wins e2e
+                # the factored form); elsewhere fused wins e2e.  Dispatch by
+                # the REAL joint count — padding must not flip the measured
+                # kernel choice.
                 if V * K * mid <= 2400:
                     ek = "bd"
                 elif mid >= 64:
@@ -607,6 +633,10 @@ class DGGCN(nn.Module):
                 else:
                     ek = "fused"
             if is_eval and ek == "mega":
+                if v_real > 0:
+                    raise ValueError(
+                        "eval_kernel='mega' does not support joint-padded "
+                        "mode (v_pad); use 'auto'/'bd'/'fused'")
                 # eval: whole block in one kernel (the pre_x/res tensors
                 # computed above become dead code and DCE away)
                 from .pallas.dggcn_block import fused_dggcn_block_eval
@@ -634,13 +664,13 @@ class DGGCN(nn.Module):
                     fn = bd_dyn_graph_agg
                 y = fn(
                     pre_x.reshape(n, t, v * K * mid), x1t, x2[..., 0, :],
-                    A_param, a_vec, b_vec, K=K, Cm=mid, **kwg,
+                    A_use, a_vec, b_vec, K=K, Cm=mid, **kwg, v_real=v_real,
                     interpret=self.pallas_interpret).reshape(n, t, v, K * mid)
             else:
                 y = fused_dyn_graph_agg(
                     pre_x.reshape(n, t, v, K * mid), x1[..., 0, :],
-                    x2[..., 0, :], A_param, a_vec, b_vec, None, None, None,
-                    K, mid, -1, 15, self.pallas_interpret)
+                    x2[..., 0, :], A_use, a_vec, b_vec, None, None, None,
+                    K, mid, -1, 15, self.pallas_interpret, v_real)
             y = PointConv(self.out_channels, name="post_conv")(y)
             y = BatchNorm(name="bn")(y, use_running_average=not train)
             return jax.nn.relu(y + res)
@@ -657,6 +687,10 @@ class DGGCN(nn.Module):
             g = jnp.einsum("nkctv,nkctw->nktvw", x1, x2,
                            preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
             g = g[:, :, None]                              # (N,K,1,Tq,V,V)
+            if self.v_pad and v > V and self.ada_act == "softmax":
+                # joint-padded mode: padded sources out of the softmax
+                src = jax.lax.broadcasted_iota(jnp.int32, g.shape, g.ndim - 2)
+                g = jnp.where(src < V, g, jnp.asarray(-1e30, g.dtype))
             g = ACTS[self.ada_act](g)
             g = g * (beta[None, :, None, None, None, None] if self.subset_wise
                      else beta[0])
@@ -922,6 +956,7 @@ class DGPHGCN1(nn.Module):
     pallas_interpret: bool = False
     eval_kernel: str = "auto"      # 'bd' | 'mega' | 'auto' — see DGGCN
     graph_axis: Optional[str] = None   # joint-partition mesh axis
+    v_pad: int = 0                 # joint-padded eval mode — see DGGCN.v_pad
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -934,6 +969,17 @@ class DGPHGCN1(nn.Module):
 
         K, V, _ = self.A_init.shape
         n, t, v, c = x.shape
+        if self.v_pad:
+            assert not train and self.graph_axis is None and v == self.v_pad \
+                and V <= v, (self.v_pad, v, V, train)
+        padded = bool(self.v_pad) and v > V
+        # padded joints carry node type 0 — their Q/K/value gathers are
+        # arbitrary but masked out of every aggregation (pre_x zeroed below,
+        # ada softmax source-masked in-kernel)
+        node_type_use = (np.concatenate(
+            [np.asarray(self.node_type), np.zeros(v - V, np.int64)])
+            if padded and self.node_type is not None
+            else self.node_type)
         ratio = self.ratio if self.ratio is not None else 1.0 / K
         mid = int(ratio * self.out_channels)
         P, E = self.num_types, self.edge_num
@@ -952,7 +998,12 @@ class DGPHGCN1(nn.Module):
             res = x
 
         A_param = self.param("A", lambda k: jnp.asarray(self.A_init, jnp.float32))
-        A6 = A_param[None, :, None, None]
+        if padded:
+            A_use = jnp.zeros((K, v, v), A_param.dtype).at[:, :V, :V] \
+                .set(A_param)
+        else:
+            A_use = A_param
+        A6 = A_use[None, :, None, None]
 
         n_gates = K if self.sub_att else 3
         alpha = self.param("alpha", nn.initializers.zeros_init(), (n_gates,))
@@ -966,7 +1017,7 @@ class DGPHGCN1(nn.Module):
             xn = jax.nn.relu(xn)
             xn = xn.reshape(n, t, v, sem, P, mid)
             xn = jnp.moveaxis(xn, 2, -1)                      # (n,t,sem,P,mid,V)
-            xn = _type_gather(xn, self.node_type, type_axis=3)  # (n,t,sem,mid,V)
+            xn = _type_gather(xn, node_type_use, type_axis=3)  # (n,t,sem,mid,V)
             xn = jnp.moveaxis(xn, -1, 2)                      # (n,t,V,sem,mid)
             xr = PointConv(norm * mid, name="pre_conv")(x)
             xr = BatchNorm(name="pre_bn")(xr, use_running_average=not train)
@@ -977,6 +1028,10 @@ class DGPHGCN1(nn.Module):
             p = BatchNorm(name="pre_bn", axis_name=self.graph_axis)(
                 p, use_running_average=not train)
             pre_x = jax.nn.relu(p).reshape(n, t, v, K, mid)
+        if padded:
+            # zero the padded joints' values (see DGGCN.v_pad)
+            vmask = jnp.asarray(np.arange(v) < V, x.dtype)
+            pre_x = pre_x * vmask[None, None, :, None, None]
 
         # ---- joint-partition (graph-axis) path ------------------------------
         if self.graph_axis is not None:
@@ -1016,7 +1071,7 @@ class DGPHGCN1(nn.Module):
                 if node_attention:
                     x1s = x1s.reshape(n, tq, v, sem, mid, P)
                     x1s = jnp.moveaxis(x1s, 2, -1)            # (n,tq,sem,mid,P,V)
-                    x1s = _type_gather(x1s, self.node_type, type_axis=4)  # (n,tq,sem,mid,V)
+                    x1s = _type_gather(x1s, node_type_use, type_axis=4)  # (n,tq,sem,mid,V)
                     x1s = jnp.transpose(x1s, (0, 2, 3, 1, 4))  # (n,sem,mid,tq,V)
                     x2s = x1s
                 else:
@@ -1038,7 +1093,14 @@ class DGPHGCN1(nn.Module):
             from .pallas.dyn_graph import edge_onehot, fused_dyn_graph_agg
             if active_edge:
                 ew, eb = _ConvParams(mid, E * mid, name="edge_linears")()
-                sel = jnp.asarray(edge_onehot(np.asarray(self.edge_type), E))
+                sel_np = edge_onehot(np.asarray(self.edge_type), E)
+                if padded:
+                    # padded joints select no edge class: their ea entries
+                    # collapse to the bias field, and their aggregation
+                    # contributions are already masked via pre_x
+                    sel_np = np.pad(sel_np,
+                                    ((0, 0), (0, v - V), (0, v - V)))
+                sel = jnp.asarray(sel_np)
                 edge_k = norm - sem
             else:
                 ew = eb = sel = None
@@ -1046,9 +1108,16 @@ class DGPHGCN1(nn.Module):
             a_vec = _gate_vec(alpha, K, sem, norm, subset_wise)
             b_vec = _gate_vec(beta, K, sem, norm, subset_wise)
             is_eval = not train and not self.is_initializing()
+            v_real = V if padded else -1
             ek = self.eval_kernel
             if ek == "auto":
+                # dispatch by the REAL joint count (padding must not flip
+                # the measured kernel choice — see DGGCN)
                 ek = "bd" if V * K * mid <= 2400 else "fused"
+            if padded and ek == "mega":
+                raise ValueError(
+                    "eval_kernel='mega' does not support joint-padded mode "
+                    "(v_pad); use 'auto'/'bd'/'fused'")
 
             if (is_eval and ek == "mega"
                     and not (target_specific and decompose)):
@@ -1086,16 +1155,21 @@ class DGPHGCN1(nn.Module):
                               edge_sel=sel, ebias=ebias)
                 y = bd_dyn_graph_agg(
                     pre_x.reshape(n, t, v * K * mid), x1t, x2[..., 0, :],
-                    A_param, a_vec, b_vec, interpret=self.pallas_interpret,
-                    **kw).reshape(n, t, v, K * mid)
+                    A_use, a_vec, b_vec, interpret=self.pallas_interpret,
+                    v_real=v_real, **kw).reshape(n, t, v, K * mid)
             else:
                 y = fused_dyn_graph_agg(
                     pre_x.reshape(n, t, v, K * mid), x1[..., 0, :],
-                    x2[..., 0, :], A_param, a_vec, b_vec, ew, eb, sel, K,
-                    mid, edge_k, E, self.pallas_interpret)
+                    x2[..., 0, :], A_use, a_vec, b_vec, ew, eb, sel, K,
+                    mid, edge_k, E, self.pallas_interpret, v_real)
             y = PointConv(self.out_channels, name="post_conv")(y)
             y = BatchNorm(name="bn")(y, use_running_average=not train)
             return jax.nn.relu(y + res)
+
+        if padded:
+            raise NotImplementedError(
+                "joint-padded mode (v_pad) requires the Pallas eval path "
+                "(use_pallas with ctr/ada='T', tanh/softmax)")
 
         # ---- CTR (diff) graph ----------------------------------------------
         if self.ctr is not None:

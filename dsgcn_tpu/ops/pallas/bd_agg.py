@@ -62,7 +62,7 @@ def _iota2(shape, dim):
 
 def _kernel(pre_ref, x1t_ref, x2_ref, A_ref, gates_ref, *rest,
             K: int, Cm: int, edge_k: int, edge_num: int, chunk: int,
-            n_subsets: int = 1, subset_div: int = 1):
+            n_subsets: int = 1, subset_div: int = 1, v_real: int = -1):
     if edge_k >= 0:
         p1t_ref, p2_ref, sel_ref, ebias_ref, out_ref, g_scr = rest
         ada_ref = None
@@ -110,6 +110,11 @@ def _kernel(pre_ref, x1t_ref, x2_ref, A_ref, gates_ref, *rest,
                 raw = jax.lax.dot_general(
                     x1k, x2k, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32)     # (V, W)
+                if 0 < v_real < V:
+                    # joint-padded mode: padded SOURCE rows masked to -inf so
+                    # the softmax normalization matches the unpadded graph
+                    src = _iota2(raw.shape, 0)
+                    raw = jnp.where(src < v_real, raw, f32(-1e30))
                 ada = jax.nn.softmax(raw, axis=0)
             if k == edge_k:
                 # edge-class attention ctr (one subset): per-class static
@@ -164,7 +169,7 @@ def _col_chunk(VKC: int, itemsize: int, budget: int = 9 * 2 ** 20) -> int:
 
 def bd_dyn_graph_agg(pre2, x1t, x2, A, alpha, beta, p1t=None, p2=None,
                      edge_sel=None, ebias=None, *, K, Cm, edge_k=-1,
-                     edge_num=15, interpret=False):
+                     edge_num=15, interpret=False, v_real=-1):
     """y2 = aggregate(pre2, G(x1, x2, A, alpha, beta[, edge attention])).
 
     pre2: (N, T, V*K*Cm) — row-major reshape of (N, T, V, K*Cm);
@@ -216,7 +221,7 @@ def bd_dyn_graph_agg(pre2, x1t, x2, A, alpha, beta, p1t=None, p2=None,
                  ebias.astype(f32)]
 
     kernel = functools.partial(_kernel, K=K, Cm=Cm, edge_k=edge_k,
-                               edge_num=edge_num, chunk=chunk)
+                               edge_num=edge_num, chunk=chunk, v_real=v_real)
     out = pl.pallas_call(
         kernel,
         grid=(N, nt, nc),
@@ -237,7 +242,7 @@ def bd_dyn_graph_agg(pre2, x1t, x2, A, alpha, beta, p1t=None, p2=None,
 
 
 def bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta, *, K, Cm,
-                            g=None, interpret=False):
+                            g=None, interpret=False, v_real=-1):
     """Per-subset / per-channel-group block-diagonal aggregation: same
     contract/layout as bd_dyn_graph_agg, but K (and optionally channel
     groups of size ``g`` within each subset) fold into the grid's batch dim
@@ -269,6 +274,10 @@ def bd_dyn_graph_agg_subset(pre2, x1t, x2, A, alpha, beta, *, K, Cm,
     gates = jnp.stack([alpha.astype(f32), beta.astype(f32)])    # (2, K)
     raw = jnp.einsum("nkvc,nkcw->nkvw", x1t.astype(f32), x2.astype(f32),
                      preferred_element_type=f32)
+    if 0 < v_real < V:
+        # joint-padded mode (see _kernel): padded sources out of the softmax
+        src = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 2)
+        raw = jnp.where(src < v_real, raw, f32(-1e30))
     ada2 = jax.nn.softmax(raw, axis=-2).reshape(N * K, V, V)
 
     VC = V * g

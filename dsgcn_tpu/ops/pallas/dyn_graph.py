@@ -51,7 +51,8 @@ def _edge_proj(ew, x, edge_num, Cm):
     return p.reshape(edge_num, Cm, x.shape[-1])
 
 
-def _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel, *, Cm, edge_k, edge_num):
+def _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel, *, Cm, edge_k, edge_num,
+             v_real=-1):
     """Rebuild subset k's graph chunk (G_k, ctr_k, ada_k), all in VMEM.
 
     x1/x2: (K, Cm, V); A: (K, V, V); gates_ref: (2, K) in SMEM.  Working
@@ -61,10 +62,19 @@ def _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel, *, Cm, edge_k, edge_num):
 
     ctr of subset ``edge_k`` uses the edge-class attention when ``ew`` given:
     ea[c',v,w] = sum_e sel[e,v,w]*(P1[e,c',v] - P2[e,c',w]) + bias_field.
+
+    ``v_real``: joint-padded mode — the V axis is zero-padded past v_real
+    real joints; the ada softmax masks padded SOURCE rows to -inf so the
+    normalization matches the unpadded graph exactly (the ctr/A terms need
+    no mask: padded rows of pre are zeroed by the caller and padded target
+    columns are sliced off downstream).
     """
     raw = jax.lax.dot_general(
         x1[k], x2[k], dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (V, W)
+    if 0 < v_real < raw.shape[0]:
+        src = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 0)
+        raw = jnp.where(src < v_real, raw, jnp.float32(-1e30))
     ada_k = jax.nn.softmax(raw, axis=-2)
     if ew is not None and k == edge_k:
         p1 = _edge_proj(ew, x1[k], edge_num, Cm)
@@ -83,7 +93,8 @@ def _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel, *, Cm, edge_k, edge_num):
 
 def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
             K: int, Cm: int, edge_w_ref=None, edge_b_ref=None,
-            edge_sel_ref=None, edge_k: int = -1, edge_num: int = 15):
+            edge_sel_ref=None, edge_k: int = -1, edge_num: int = 15,
+            v_real: int = -1):
     """Forward: per (batch, T-tile) fused graph build + aggregation.
 
     pre_ref: (1, Tt, V, K*Cm); x1/x2_ref: (1, K, Cm, V); A_ref: (K, V, V);
@@ -110,7 +121,8 @@ def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
     parts = []
     for k in range(K):
         G_k, _, _ = _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel,
-                             Cm=Cm, edge_k=edge_k, edge_num=edge_num)
+                             Cm=Cm, edge_k=edge_k, edge_num=edge_num,
+                             v_real=v_real)
         y_k = jax.lax.dot_general(
             pre_t[k * Cm:(k + 1) * Cm], G_k.astype(pre.dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -201,7 +213,7 @@ def _edge_specs_args(edge_w, edge_b, edge_sel, edge_num, Cm):
 
 
 def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
-                K, Cm, edge_k, edge_num, interpret=False):
+                K, Cm, edge_k, edge_num, interpret=False, v_real=-1):
     N, T, V, KC = pre_x.shape
     # graph-build operands in f32 regardless of compute dtype: they are tiny
     # next to pre_x, the graph math wants f32, and Mosaic cannot lower the
@@ -229,14 +241,14 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
         def kernel(pre, x1r, x2r, Ar, gr, ewr, ebr, esr, out):
             _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm,
                     edge_w_ref=ewr, edge_b_ref=ebr, edge_sel_ref=esr,
-                    edge_k=edge_k, edge_num=edge_num)
+                    edge_k=edge_k, edge_num=edge_num, v_real=v_real)
         especs, eargs = _edge_specs_args(edge_w, edge_b, edge_sel, edge_num,
                                          Cm)
         in_specs += especs
         args += eargs
     else:
         def kernel(pre, x1r, x2r, Ar, gr, out):
-            _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm)
+            _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm, v_real=v_real)
 
     return pl.pallas_call(
         kernel,
@@ -550,31 +562,33 @@ def _fwd_reference(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
     return y.reshape(N, T, V, K * Cm)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def fused_dyn_graph_agg(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b,
                         edge_sel, K, Cm, edge_k=-1, edge_num=15,
-                        interpret=False):
+                        interpret=False, v_real=-1):
     """y = aggregate(pre_x, G(x1, x2, A, alpha, beta[, edge attention])).
 
     pre_x: (N, T, V, K*Cm); x1/x2: (N, K, Cm, V); A: (K, V, V);
     alpha/beta: (K,) effective per-subset gates; edge_w: (Cm, edge_num*Cm)
     or None; edge_b: (edge_num*Cm,) conv bias or None; edge_sel:
-    (edge_num, V, V) one-hot class mask or None.
+    (edge_num, V, V) one-hot class mask or None; v_real: joint-padded eval
+    mode (V zero-padded past v_real real joints — see _graph_k).
     """
     return _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b,
                        edge_sel, K=K, Cm=Cm, edge_k=edge_k,
-                       edge_num=edge_num, interpret=interpret)
+                       edge_num=edge_num, interpret=interpret, v_real=v_real)
 
 
 def _vjp_fwd(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel,
-             K, Cm, edge_k, edge_num, interpret):
+             K, Cm, edge_k, edge_num, interpret, v_real):
     y = _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel,
                     K=K, Cm=Cm, edge_k=edge_k, edge_num=edge_num,
-                    interpret=interpret)
+                    interpret=interpret, v_real=v_real)
     return y, (pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel)
 
 
-def _vjp_bwd(K, Cm, edge_k, edge_num, interpret, res, dy):
+def _vjp_bwd(K, Cm, edge_k, edge_num, interpret, v_real, res, dy):
+    assert v_real <= 0, "joint-padded mode (v_real) is eval-only"
     pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel = res
     outs = _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b,
                        edge_sel, dy, K=K, Cm=Cm, edge_k=edge_k,

@@ -305,6 +305,13 @@ class DGMSTCN(nn.Module):
     # overhead, ~5.6 ms of the b16 step).  'auto' picks by effective batch
     # at trace time (shapes are static under jit).
     eval_layout: str = "auto"   # 'auto' | 'split' | 'concat'
+    # joint-padded eval mode (see ops/gcn.py DGGCN.v_pad): the joint axis is
+    # zero-padded to v_pad; the global branch means over the REAL num_joints
+    # only, the global broadcast-back uses a zero coefficient at padded
+    # joints, and in the concat layout the global pseudo-joint is written
+    # INTO padded slot ``num_joints`` instead of appending a 26th row (the
+    # tensor stays at the aligned 32-row width)
+    v_pad: int = 0
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -313,13 +320,23 @@ class DGMSTCN(nn.Module):
                 f"eval_layout must be 'auto', 'split' or 'concat'; "
                 f"got {self.eval_layout!r}")
         n, t, v, c = x.shape
+        padded = bool(self.v_pad) and v > self.num_joints
+        if self.v_pad:
+            assert not train and self.graph_axis is None \
+                and v == self.v_pad, (self.v_pad, v, train)
         use_split_eval = (self.eval_layout == "split"
                           or (self.eval_layout == "auto" and n >= 64))
         add_coeff = self.param("add_coeff", nn.initializers.zeros_init(),
                                (self.num_joints,))
+        if padded:
+            # padded joints: no global contribution (their rows are garbage
+            # and sliced off by the backbone)
+            coeff_pad = jnp.concatenate(
+                [add_coeff, jnp.zeros((v - self.num_joints,),
+                                      add_coeff.dtype)])
         if (self.use_pallas and not train and not self.is_initializing()
                 and self.graph_axis is None and self.branch_kind == "tcn"
-                and self.mid_channels is None
+                and self.mid_channels is None and not padded
                 and self.ms_cfg == DEFAULT_MS_CFG):
             # eval-only fusion: the five BatchNorms fold into affines from
             # running stats; params are read from the tree the XLA path
@@ -346,8 +363,13 @@ class DGMSTCN(nn.Module):
             branches = _MSBranches(self.out_channels, self.mid_channels,
                                    self.ms_cfg, self.stride,
                                    self.branch_kind, name="branches")
-            mean_joint = x.mean(axis=2, keepdims=True).astype(x.dtype)
-            coeff = add_coeff[:v].astype(x.dtype)
+            if padded:
+                mean_joint = x[:, :, :self.num_joints].mean(
+                    axis=2, keepdims=True).astype(x.dtype)
+                coeff = coeff_pad.astype(x.dtype)
+            else:
+                mean_joint = x.mean(axis=2, keepdims=True).astype(x.dtype)
+                coeff = add_coeff[:v].astype(x.dtype)
             locals_ = branches(x, train=False, as_list=True)
             globals_ = branches(mean_joint, train=False, as_list=True)
 
@@ -380,6 +402,29 @@ class DGMSTCN(nn.Module):
                 feat = nn.Dropout(self.dropout, deterministic=True)(feat)
             return feat
         if self.graph_axis is None:
+            if padded:
+                # global pseudo-joint written INTO padded slot num_joints —
+                # the tensor keeps its aligned v_pad-row width (no 26th-row
+                # append); rows past it stay garbage and are sliced off by
+                # the backbone
+                vr = self.num_joints
+                mean_joint = x[:, :, :vr].mean(axis=2, keepdims=True)
+                xg = jax.lax.dynamic_update_slice_in_dim(
+                    x, mean_joint.astype(x.dtype), vr, axis=2)
+                out = _MSBranches(self.out_channels, self.mid_channels,
+                                  self.ms_cfg, self.stride, self.branch_kind,
+                                  name="branches")(xg, train=train)
+                global_feat = out[:, :, vr]                  # (N, T', C')
+                feat = out + global_feat[:, :, None, :] \
+                    * coeff_pad[None, None, :, None]
+                feat = BatchNorm(name="transform_bn")(
+                    feat, use_running_average=not train)
+                feat = jax.nn.relu(feat)
+                feat = PointConv(self.out_channels, name="transform_conv")(feat)
+                feat = BatchNorm(name="bn")(feat, use_running_average=not train)
+                if self.dropout > 0:
+                    feat = nn.Dropout(self.dropout, deterministic=True)(feat)
+                return feat
             mean_joint = x.mean(axis=2, keepdims=True)
             coeff = add_coeff[:v]
             bn_weight = None

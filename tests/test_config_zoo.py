@@ -43,7 +43,8 @@ def test_dsgcn_split_and_dataset_breadth():
     ucf101}_*)."""
     dirs = ["ntu60_xsub_3dkp", "ntu60_xview_3dkp", "ntu120_xsub_3dkp",
             "ntu120_xset_3dkp", "kinetics400_hrnet", "gym_hrnet",
-            "diving48_hrnet", "hmdb51_hrnet", "ucf101_hrnet"]
+            "diving48_hrnet", "hmdb51_hrnet", "ucf101_hrnet",
+            "fight_detection"]
     for d in dirs:
         for mod in ("j", "b", "jm", "bm"):
             path = os.path.join(ROOT, "configs", "dsgcn", d, f"{mod}.py")
@@ -55,6 +56,16 @@ def test_dsgcn_split_and_dataset_breadth():
     assert cfg["data"]["train"]["box_thr"] == 0.5
     assert cfg["data"]["train"]["valid_ratio"] == 0.0
     assert cfg["model"]["cls_head"]["num_classes"] == 400
+    # fight_detection carries the reference j.py's distinguishing semantics
+    # (configs/dsstgcn/fight_detection/j.py: 2 classes, 5 persons,
+    # valid_ratio None — its b/jm/bm leaves are stale k400 copies)
+    fcfg = Config.fromfile(os.path.join(ROOT, "configs", "dsgcn",
+                                        "fight_detection", "b.py"))
+    assert fcfg["model"]["cls_head"]["num_classes"] == 2
+    assert fcfg["data"]["train"]["valid_ratio"] is None
+    fmt = [d for d in fcfg["data"]["train"]["pipeline"]
+           if d["type"] == "FormatGCNInput"]
+    assert fmt and fmt[0]["num_person"] == 5
 
 
 @pytest.mark.parametrize("path", LEAVES, ids=lambda p: os.path.relpath(
