@@ -321,42 +321,48 @@ def _infer_bf16(C, name, batches):
 
 def _train_rows(C, name, rows):
     """Training throughput (clips/s/chip).  b64 is the round-1-comparable
-    row; the saturated row remats each backbone block (inputs-only
-    residency) — the production large-batch training config."""
+    row; saturated rows remat (True = whole block, 'tcn' = only the TCN
+    region, keeping the custom-VJP aggregation un-rematted); dtype
+    'bfloat16' = mixed-precision training (f32 master weights, bf16
+    compute — core/train.py compute_dtype, gated by
+    tests/test_bf16_training.py)."""
+    import functools
     import jax
     import jax.numpy as jnp
     from dsgcn_tpu.core.train import TrainState, make_optimizer, train_step
     from dsgcn_tpu.models.builder import build_model, model_cfg
     x16, x1k, rng = C["x16"], C["x1k"], C["rng"]
     model, variables = C["models"][name]
-    for bs, remat in rows:
-        if remat:
+    mdl_cache = {False: model}
+    for bs, remat, dtype in rows:
+        if remat not in mdl_cache:
             cfg_r = model_cfg(name, num_classes=60)
-            cfg_r["backbone"]["remat"] = True
-            mdl = build_model(cfg_r)
-            _mark(f"{name}: remat init")
-            vr = jax.jit(lambda k, x_: mdl.init(k, x_, train=False))(
-                jax.random.PRNGKey(0), x16[:2])
-        else:
-            mdl, vr = model, variables
-        _mark(f"{name}: train b{bs}{' remat' if remat else ''}")
-        xb = x1k[:bs]
-        params, stats = vr["params"], vr.get("batch_stats", {})
-        tx, _ = make_optimizer(lr=0.1, total_steps=100)
-        state = TrainState.create(mdl.apply, params, stats, tx)
-        tb = dict(keypoint=xb,
-                  label=jnp.asarray(rng.integers(0, 60, size=bs)))
-        step = jax.jit(train_step)
-        state, metrics = step(state, tb, jax.random.PRNGKey(0))
-        float(metrics["loss"])
-        iters = 8
-        t0 = time.perf_counter()
-        for _ in range(iters):
+            cfg_r["backbone"]["remat"] = remat
+            mdl_cache[remat] = build_model(cfg_r)
+        mdl, vr = mdl_cache[remat], variables   # remat is tree-transparent
+        rtag = {False: "", True: "_remat", "tcn": "_remat_tcn"}[remat]
+        dtag = "_bf16" if dtype else ""
+        _mark(f"{name}: train b{bs}{rtag}{dtag}")
+        try:
+            xb = x1k[:bs]
+            params, stats = vr["params"], vr.get("batch_stats", {})
+            tx, _ = make_optimizer(lr=0.1, total_steps=100)
+            state = TrainState.create(mdl.apply, params, stats, tx)
+            tb = dict(keypoint=xb,
+                      label=jnp.asarray(rng.integers(0, 60, size=bs)))
+            step = jax.jit(functools.partial(train_step,
+                                             compute_dtype=dtype))
             state, metrics = step(state, tb, jax.random.PRNGKey(0))
-        float(metrics["loss"])   # forces the whole dependent chain
-        tag = f"b{bs}" + ("_remat" if remat else "")
-        RESULTS[f"{name}_train_clips_per_sec_{tag}"] = bs * iters / (
-            time.perf_counter() - t0)
+            float(metrics["loss"])
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step(state, tb, jax.random.PRNGKey(0))
+            float(metrics["loss"])   # forces the whole dependent chain
+            RESULTS[f"{name}_train_clips_per_sec_b{bs}{rtag}{dtag}"] = \
+                bs * iters / (time.perf_counter() - t0)
+        except Exception as e:   # e.g. OOM at a saturated row — keep going
+            _mark(f"{name}: train b{bs}{rtag}{dtag} failed ({e!r})")
 
 
 def _sec_jp_aot(C):  # noqa: ARG001
@@ -523,14 +529,18 @@ def _real_sections():
         ("dgstgcn_bf16", lambda: _infer_bf16(C, "dgstgcn", (16, 64, 256))),
         ("dsgcn_fp32", lambda: (_infer_fp32(C, "dsgcn"), _edges_per_sec())),
         ("dsgcn_bf16", lambda: _infer_bf16(C, "dsgcn", (64, 256))),
-        ("train_b64", lambda: [_train_rows(C, n, [(64, False)])
+        ("train_b64", lambda: [_train_rows(C, n, [(64, False, None),
+                                                  (64, False, "bfloat16")])
                                for n in ("dgstgcn", "dsgcn")]),
         ("jp_aot", lambda: _sec_jp_aot(C)),
         # -- saturated sweeps + MFU + big-batch training --------------------
         ("dgstgcn_saturated", lambda: _sec_saturated(C, "dgstgcn")),
         ("dsgcn_saturated", lambda: _sec_saturated(C, "dsgcn")),
-        ("train_saturated", lambda: [_train_rows(C, n, [(256, True)])
-                                     for n in ("dgstgcn", "dsgcn")]),
+        ("train_saturated",
+         lambda: [_train_rows(C, n, [(256, True, None),
+                                     (256, "tcn", "bfloat16"),
+                                     (256, "tcn", None)])
+                  for n in ("dgstgcn", "dsgcn")]),
         # -- breadth rows: first casualties of the deadline -----------------
         ("zoo", lambda: _sec_zoo(C)),
         ("ms_tcn_ab", lambda: _sec_ms_tcn(C)),

@@ -145,13 +145,34 @@ def init_model(model, rng: jax.Array, sample: Array):
 
 
 def loss_and_metrics(apply_fn, params, batch_stats, batch: Mapping[str, Array],
-                     dropout_rng: Optional[jax.Array] = None):
-    """Forward + CE loss + on-device top-k (reference heads/base.py:50-84)."""
+                     dropout_rng: Optional[jax.Array] = None,
+                     compute_dtype: Optional[str] = None):
+    """Forward + CE loss + on-device top-k (reference heads/base.py:50-84).
+
+    ``compute_dtype='bfloat16'``: mixed-precision training — master params
+    stay f32 in the optimizer, a bf16 COPY enters the network (the cast's
+    VJP accumulates the incoming bf16 grads into f32), activations and the
+    fused dynamic-graph kernel run at the MXU bf16 rate, BatchNorm batch
+    statistics and running stats stay f32 (ops/common.py accum_dtype), and
+    the loss/metrics are computed from f32 logits.  bf16 keeps f32's
+    exponent range, so no loss scaling is needed.  Quality is gated by
+    tests/test_bf16_training.py (short) and the bf16 learning-curve run
+    (slow marker).
+    """
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     x = batch["keypoint"] if "keypoint" in batch else batch["imgs"]
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, params)
+        x = x.astype(cd)
     logits, mutated = apply_fn(
         {"params": params, "batch_stats": batch_stats},
         x, train=True, mutable=["batch_stats"], rngs=rngs)
+    if compute_dtype is not None:
+        # loss/metrics from f32 logits; never touch the dtype otherwise
+        # (the f64 strict-parity tests run the whole step in float64)
+        logits = logits.astype(jnp.float32)
     label = batch["label"]
     loss = cross_entropy(logits, label)
     metrics = dict(
@@ -163,12 +184,17 @@ def loss_and_metrics(apply_fn, params, batch_stats, batch: Mapping[str, Array],
 
 
 def train_step(state: TrainState, batch: Mapping[str, Array],
-               dropout_rng: Optional[jax.Array] = None
+               dropout_rng: Optional[jax.Array] = None,
+               compute_dtype: Optional[str] = None
                ) -> Tuple[TrainState, Dict[str, Array]]:
-    """Single-device step: grad, SGD update, BN running-stat update."""
+    """Single-device step: grad, SGD update, BN running-stat update.
+
+    ``compute_dtype`` must be bound statically before jit (e.g.
+    ``jax.jit(functools.partial(train_step, compute_dtype='bfloat16'))``);
+    see :func:`loss_and_metrics` for the mixed-precision semantics."""
     grad_fn = jax.value_and_grad(
         lambda p: loss_and_metrics(state.apply_fn, p, state.batch_stats, batch,
-                                   dropout_rng), has_aux=True)
+                                   dropout_rng, compute_dtype), has_aux=True)
     (_, (new_stats, metrics)), grads = grad_fn(state.params)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)

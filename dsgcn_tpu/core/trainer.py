@@ -62,7 +62,7 @@ class Trainer:
                  eval_metrics: Sequence[str] = ("top_k_accuracy",),
                  average_clips: str = "prob", input_shape=None,
                  paramwise_cfg=None, prefetch_depth: int = 2,
-                 n_graph: int = 1):
+                 n_graph: int = 1, compute_dtype: Optional[str] = None):
         self.model = model
         self.work_dir = work_dir
         self.train_loader = train_loader
@@ -117,12 +117,15 @@ class Trainer:
         self.state = replicate(state, self.mesh)
         self.rng = jax.random.PRNGKey(seed)
 
+        # compute_dtype='bfloat16': mixed-precision training — f32 master
+        # weights, bf16 compute (core/train.py loss_and_metrics); quality
+        # gated by tests/test_bf16_training.py + the bf16 learning curve
         if n_graph > 1:
             from ..parallel.train import make_jp_eval_step, make_jp_train_step
-            self.train_step = make_jp_train_step(self.mesh)
+            self.train_step = make_jp_train_step(self.mesh, compute_dtype)
             self.eval_fwd = make_jp_eval_step(self.mesh, model.apply)
         else:
-            self.train_step = make_dp_train_step(self.mesh)
+            self.train_step = make_dp_train_step(self.mesh, compute_dtype)
             self.eval_fwd = make_dp_eval_step(self.mesh, model.apply)
         self.ckpt = CheckpointManager(work_dir)
         self.best = (-1.0, None)

@@ -286,6 +286,7 @@ class DGBlock(nn.Module):
     tcn_type: str = "dgmstcn"
     tcn_kwargs: FrozenDict = FrozenDict()
     graph_axis: Optional[str] = None   # joint-partition mesh axis
+    remat_tcn: bool = False            # backbone remat='tcn' (selective)
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -313,8 +314,12 @@ class DGBlock(nn.Module):
             assert self.tcn_type in ("dgmstcn", "unit_tcn")
             tcn_kwargs["graph_axis" if self.tcn_type == "dgmstcn"
                        else "bn_axis"] = self.graph_axis
-        y = _make_tcn(self.tcn_type, self.out_channels, self.stride,
-                      tcn_kwargs)(y, train=train)
+        tcn = _make_tcn(self.tcn_type, self.out_channels, self.stride,
+                        tcn_kwargs)
+        if self.remat_tcn and train:
+            y = _remat_call(tcn, y)
+        else:
+            y = tcn(y, train=train)
         return jax.nn.relu(y + res)
 
 
@@ -340,16 +345,13 @@ def stage_plan(in_channels: int, base_channels: int, ch_ratio: float,
     return plan
 
 
-class _RematBlock(nn.Module):
-    """Wrapper binding the static ``train`` flag so jax.checkpoint sees a
-    single traced argument (activation rematerialization per block trades
-    FLOPs for HBM — the dynamic-graph tensors dominate training memory)."""
-    block: nn.Module
-    train: bool
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        return self.block(x, train=self.train)
+def _remat_call(mod: nn.Module, x: Array) -> Array:
+    """Rematerialized module call, transparent to the param tree: the lifted
+    function transform runs on ``mod``'s own scope, so remat on/off produces
+    the SAME variable paths (checkpoints interchangeable).  ``train=True``
+    rides the closure as a static Python constant — remat only ever wraps
+    the training path."""
+    return nn.remat(lambda m, z: m(z, train=True))(mod, x)
 
 
 class _BackboneBase(nn.Module):
@@ -363,7 +365,13 @@ class _BackboneBase(nn.Module):
     inflate_stages: Tuple[int, ...] = (5, 8)
     down_stages: Tuple[int, ...] = (5, 8)
     data_bn_type: Optional[str] = "VC"
-    remat: bool = False
+    # True: remat the WHOLE block (inputs-only residency — max memory
+    # saving, recomputes the fused aggregation kernel in the backward).
+    # 'tcn': remat only the multi-branch TCN region (DGBlock) — keeps the
+    # custom-VJP aggregation un-rematted (its backward already avoids
+    # storing the graph tensor) while dropping the TCN branch intermediates,
+    # the bulk of the per-block activation footprint (VERDICT r4 #4).
+    remat: Any = False
     block_args: FrozenDict = FrozenDict()
     # joint-partition (graph-axis) SPMD: when set, __call__ must run inside a
     # shard_map whose mesh has this axis; the input arrives replicated over
@@ -419,9 +427,8 @@ class _BackboneBase(nn.Module):
             kwargs["_lw_index"] = i + offset
             blk = self.make_block(i, graph, A, in_c, out_c, stride, residual,
                                   kwargs)
-            if self.remat and train:
-                x = nn.remat(_RematBlock)(block=blk, train=train,
-                                          name=f"remat{i}")(x)
+            if self.remat is True and train:
+                x = _remat_call(blk, x)
             else:
                 x = blk(x, train=train)
         if self.graph_axis is not None:
@@ -620,4 +627,5 @@ class DGSTGCN(_BackboneBase):
                        residual=residual, gcn_type=gcn_type,
                        gcn_kwargs=FrozenDict(gcn_kwargs), tcn_type=tcn_type,
                        tcn_kwargs=FrozenDict(tcn_kwargs),
+                       remat_tcn=self.remat == "tcn",
                        graph_axis=self.graph_axis, name=f"block{i}")

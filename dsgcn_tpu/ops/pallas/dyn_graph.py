@@ -532,6 +532,12 @@ def _bwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, dy,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
+        # bf16 training: the in-kernel f32 lifts of the bf16 pre/dy tiles
+        # overflow the default 16 MB scoped budget by ~1.5 MB at the widest
+        # K=8 stage — raise the per-call limit (v5e has 128 MB VMEM), same
+        # remedy as the forward kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return outs

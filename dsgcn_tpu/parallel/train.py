@@ -20,7 +20,7 @@ from ..core.train import TrainState, loss_and_metrics
 from .mesh import DATA_AXIS, GRAPH_AXIS
 
 
-def make_dp_train_step(mesh):
+def make_dp_train_step(mesh, compute_dtype=None):
     """Returns a jitted (state, batch, rng) -> (state, metrics) SPMD step.
 
     state replicated, batch sharded on ``data``.  Inside each shard: local
@@ -35,7 +35,8 @@ def make_dp_train_step(mesh):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         grad_fn = jax.value_and_grad(
             lambda p: loss_and_metrics(state.apply_fn, p, state.batch_stats,
-                                       batch, rng), has_aux=True)
+                                       batch, rng, compute_dtype),
+            has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(state.params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
@@ -55,7 +56,7 @@ def make_dp_train_step(mesh):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_jp_train_step(mesh):
+def make_jp_train_step(mesh, compute_dtype=None):
     """SPMD training step over a 2D (data x graph) mesh: batch sharded over
     ``data``, the skeleton's joints sharded over ``graph`` (joint-partition
     parallelism, SURVEY §2.9's novel axis).  Requires a model whose backbone
@@ -76,7 +77,8 @@ def make_jp_train_step(mesh):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         grad_fn = jax.value_and_grad(
             lambda p: loss_and_metrics(state.apply_fn, p, state.batch_stats,
-                                       batch, rng), has_aux=True)
+                                       batch, rng, compute_dtype),
+            has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(state.params)
         grads = jax.lax.pmean(jax.lax.pmean(grads, GRAPH_AXIS), DATA_AXIS)
         new_stats = jax.lax.pmean(jax.lax.pmean(new_stats, GRAPH_AXIS),

@@ -15,18 +15,31 @@ REF = "/root/reference"
 
 
 def _ensure_stub_module(name, **attrs):
+    """Get module ``name``, preferring the real one; stub only if it cannot
+    be imported.  Attributes are only added when missing — NEVER overwrite a
+    real module's attrs (stubbing an importable module like scipy.spatial
+    with an empty shell poisoned every later ``from scipy.spatial import
+    ...`` in the same process — shard-order-dependent suite failures)."""
     if name in sys.modules:
         mod = sys.modules[name]
     else:
-        mod = types.ModuleType(name)
-        # a real ModuleSpec: importlib.util.find_spec raises ValueError on
-        # in-sys.modules modules with __spec__=None (torch dynamo trace_rules
-        # probes e.g. 'sklearn' this way when building a torch optimizer)
-        import importlib.machinery
-        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-        sys.modules[name] = mod
+        try:
+            mod = importlib.import_module(name)
+        except ImportError:
+            import importlib.machinery as _machinery
+            mod = types.ModuleType(name)
+            # a real ModuleSpec: importlib.util.find_spec raises ValueError
+            # on in-sys.modules modules with __spec__=None (torch dynamo
+            # trace_rules probes e.g. 'sklearn' this way when building a
+            # torch optimizer)
+            mod.__spec__ = _machinery.ModuleSpec(name, loader=None)
+            mod.__dsgcn_stub__ = True
+            sys.modules[name] = mod
     for k, v in attrs.items():
-        setattr(mod, k, v)
+        # our own stubs take every attr (later calls override placeholder
+        # values like scatter=None); REAL modules only gain missing attrs
+        if getattr(mod, "__dsgcn_stub__", False) or not hasattr(mod, k):
+            setattr(mod, k, v)
     return mod
 
 

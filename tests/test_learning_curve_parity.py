@@ -112,13 +112,15 @@ def _torch_curve(tmodel, epochs, vb):
     return accs
 
 
-def _jax_curve(variables, epochs, vb):
+def _jax_curve(variables, epochs, vb, compute_dtype=None):
+    import functools
     total = EPOCHS * STEPS_PER_EPOCH
     model = build_named_model("dsgcn", num_classes=N_CLASSES)
     tx, _ = _make_optimizer(total)
     state = TrainState.create(model.apply, variables["params"],
                               variables["batch_stats"], tx)
-    step = jax.jit(train_step)
+    step = jax.jit(functools.partial(train_step,
+                                     compute_dtype=compute_dtype))
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     accs = []
     for batches in epochs:
@@ -158,3 +160,30 @@ def test_learning_curves_match(tmp_path):
     assert t_late >= 0.5 and j_late >= 0.5, (t_late, j_late)
     # and agree on WHERE they land (accuracy-level parity)
     assert abs(t_late - j_late) <= 0.15, (t_late, j_late)
+
+
+@pytest.mark.slow
+def test_bf16_learning_curve(tmp_path):
+    """Mixed-precision training quality gate (core/train.py compute_dtype):
+    the bf16-compute free run must land at the same accuracy level as the
+    f32 run over the full 16-epoch recipe.  Skips on backends without bf16
+    dot execution (XLA:CPU)."""
+    epochs, vb = _batches(tmp_path)
+    tmodel = ep._make_torch_model(seed=7, family="dsgcn").float()
+    variables, _ = ep._torch_variables(tmodel, "dsgcn")
+    variables = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), variables)
+
+    j_accs = _jax_curve(variables, epochs, vb)
+    try:
+        b_accs = _jax_curve(variables, epochs, vb, "bfloat16")
+    except Exception as e:  # noqa: BLE001
+        if "BF16" in str(e) or "bf16" in str(e):
+            pytest.skip(f"backend lacks bf16 dot execution: {str(e)[:80]}")
+        raise
+    print(f"f32  curve: {j_accs}")
+    print(f"bf16 curve: {b_accs}")
+    j_late = float(np.mean(j_accs[-3:]))
+    b_late = float(np.mean(b_accs[-3:]))
+    assert b_late >= b_accs[0] + 0.2, (b_accs[0], b_late)
+    assert b_late >= 0.5, b_late
+    assert abs(j_late - b_late) <= 0.15, (j_late, b_late)

@@ -116,6 +116,9 @@ def main():
             "metrics", ["top_k_accuracy"]),
         prefetch_depth=cfg.get("data", {}).get("prefetch_depth", 2),
         n_graph=n_graph,
+        # config knob: top-level `compute_dtype = 'bfloat16'` for
+        # mixed-precision training (f32 master weights)
+        compute_dtype=cfg.get("compute_dtype"),
     )
     if not args.no_auto_resume:
         trainer.resume_if_possible()
