@@ -666,6 +666,38 @@ class DGGCN(nn.Module):
                     pre_x.reshape(n, t, v * K * mid), x1t, x2[..., 0, :],
                     A_use, a_vec, b_vec, K=K, Cm=mid, **kwg, v_real=v_real,
                     interpret=self.pallas_interpret).reshape(n, t, v, K * mid)
+            elif (is_eval and ek == "fusedpre" and not self.v_pad
+                  and c >= 64):
+                # OPT-IN (measured SLOWER e2e on v5e: dgstgcn 524/774 fps
+                # b16/b64 vs 710/827 with the plain fused kernel): the
+                # IN-KERNEL pre-conv variant computes pre = relu(BN(conv(x)))
+                # inside the kernel from BN-folded weights, so the
+                # (N, T, V, K*mid) pre tensor never round-trips HBM — but
+                # the per-tile (Tt*V, C)x(C, K*mid) matmul serializes
+                # against the block DMA and loses more than the saved
+                # traffic, while XLA's separate pre-conv runs as one big
+                # fused batched matmul.  Kept as a tested option (interpret
+                # parity in tests/test_pallas_module_integration.py) — the
+                # arithmetic may flip on hardware with different DMA/MXU
+                # ratios.  (c >= 64: at the 3-channel stem the x block's
+                # 3-lane DMA costs more than the saved pre round-trip.)
+                from .pallas.dyn_graph import fused_dyn_graph_agg_eval
+                from .pallas.ms_tcn import fold_bn
+                sbn = self.scope.push("pre_bn", reuse=True) \
+                    .push("bn", reuse=True)
+                a_f, b_f = fold_bn(sbn.get_variable("params", "scale"),
+                                   sbn.get_variable("params", "bias"),
+                                   sbn.get_variable("batch_stats", "mean"),
+                                   sbn.get_variable("batch_stats", "var"))
+                spc = self.scope.push("pre_conv", reuse=True)
+                w_p = spc.get_variable("params", "kernel")
+                b_p = spc.get_variable("params", "bias")
+                w_p = (w_p * a_f[None]).astype(x.dtype)
+                b_p = (b_p * a_f + b_f).astype(jnp.float32)
+                y = fused_dyn_graph_agg_eval(
+                    x, w_p, b_p, x1[..., 0, :], x2[..., 0, :], A_use,
+                    a_vec, b_vec, K=K, Cm=mid,
+                    interpret=self.pallas_interpret)
             else:
                 y = fused_dyn_graph_agg(
                     pre_x.reshape(n, t, v, K * mid), x1[..., 0, :],

@@ -94,14 +94,31 @@ def _graph_k(k, x1, x2, A, gates_ref, ew, ebf, sel, *, Cm, edge_k, edge_num,
 def _kernel(pre_ref, x1_ref, x2_ref, A_ref, gates_ref, out_ref, *,
             K: int, Cm: int, edge_w_ref=None, edge_b_ref=None,
             edge_sel_ref=None, edge_k: int = -1, edge_num: int = 15,
-            v_real: int = -1):
+            v_real: int = -1, w_pre_ref=None, b_pre_ref=None):
     """Forward: per (batch, T-tile) fused graph build + aggregation.
 
     pre_ref: (1, Tt, V, K*Cm); x1/x2_ref: (1, K, Cm, V); A_ref: (K, V, V);
     gates_ref: (2, K) [alpha; beta] in SMEM; out_ref: (1, Tt, V, K*Cm).
-    """
+
+    With ``w_pre_ref`` (C, K*Cm) / ``b_pre_ref`` (1, K*Cm) (the eval path's
+    BN-folded pre-conv), pre_ref instead carries the block INPUT
+    (1, Tt, V, C) and pre = relu(x @ w_pre + b_pre) is computed in VMEM —
+    the (N, T, V, K*Cm) pre tensor never round-trips HBM (a write + read of
+    2C channels per stage, ~40% of the GCN region's traffic).  The
+    (Tt*V, C) x (C, K*Cm) matmul is MXU-shaped; the (Tt, V, C) <->
+    (Tt*V, C) merges are leading-dim and free."""
     T, V = pre_ref.shape[1], pre_ref.shape[2]
-    pre = pre_ref[0]                                   # (Tt, V, K*Cm)
+    if w_pre_ref is not None:
+        xb = pre_ref[0]                                # (Tt, V, C)
+        c_in = xb.shape[-1]
+        p2d = jax.lax.dot_general(
+            xb.reshape(T * V, c_in), w_pre_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Tt*V, K*Cm)
+        p2d = jnp.maximum(p2d + b_pre_ref[0][None, :], 0.0)
+        pre = p2d.reshape(T, V, K * Cm).astype(out_ref.dtype)
+    else:
+        pre = pre_ref[0]                               # (Tt, V, K*Cm)
     x1, x2, A = x1_ref[0], x2_ref[0], A_ref[...]
     ew = edge_w_ref[...] if edge_w_ref is not None else None
     ebf = edge_b_ref[...] if edge_b_ref is not None else None
@@ -213,8 +230,10 @@ def _edge_specs_args(edge_w, edge_b, edge_sel, edge_num, Cm):
 
 
 def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
-                K, Cm, edge_k, edge_num, interpret=False, v_real=-1):
-    N, T, V, KC = pre_x.shape
+                K, Cm, edge_k, edge_num, interpret=False, v_real=-1,
+                w_pre=None, b_pre=None):
+    KC = K * Cm
+    N, T, V, _ = pre_x.shape   # with w_pre, pre_x is the block INPUT x
     # graph-build operands in f32 regardless of compute dtype: they are tiny
     # next to pre_x, the graph math wants f32, and Mosaic cannot lower the
     # (V,) -> (V, 1) minor-dim broadcasts of the diff graph on 16-bit types
@@ -222,11 +241,15 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
     x1, x2, A = x1.astype(f32), x2.astype(f32), A.astype(f32)
     gates = jnp.stack([alpha.astype(f32), beta.astype(f32)])    # (2, K)
     # Tile T so wide stages (large K*Cm) stay inside scoped VMEM; the dynamic
-    # graph is T-invariant, so tiles just rebuild it (cheap vs the contraction)
-    tt = _t_tile(T, V, KC, pre_x.dtype.itemsize)
+    # graph is T-invariant, so tiles just rebuild it (cheap vs the
+    # contraction).  The in-kernel pre-conv adds the x block + the f32
+    # matmul result to the live set — count ~3 extra block-sized copies.
+    tt = _t_tile(T, V, KC, pre_x.dtype.itemsize,
+                 blocks=12 if w_pre is not None else 9)
     nt = T // tt
+    c_in = pre_x.shape[-1]
     in_specs = [
-        pl.BlockSpec((1, tt, V, KC), lambda n, t: (n, t, 0, 0),
+        pl.BlockSpec((1, tt, V, c_in), lambda n, t: (n, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, K, Cm, V), lambda n, t: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -237,7 +260,21 @@ def _fwd_pallas(pre_x, x1, x2, A, alpha, beta, edge_w, edge_b, edge_sel, *,
         pl.BlockSpec((2, K), lambda n, t: (0, 0), memory_space=pltpu.SMEM),
     ]
     args = [pre_x, x1, x2, A, gates]
-    if edge_w is not None:
+    if w_pre is not None:
+        assert edge_w is None, "in-kernel pre-conv + edge attention unsupported"
+        b_pre2 = b_pre.reshape(1, KC)
+
+        def kernel(pre, x1r, x2r, Ar, gr, wpr, bpr, out):
+            _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm, v_real=v_real,
+                    w_pre_ref=wpr, b_pre_ref=bpr)
+        in_specs += [
+            pl.BlockSpec((c_in, KC), lambda n, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KC), lambda n, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [w_pre, b_pre2]
+    elif edge_w is not None:
         def kernel(pre, x1r, x2r, Ar, gr, ewr, ebr, esr, out):
             _kernel(pre, x1r, x2r, Ar, gr, out, K=K, Cm=Cm,
                     edge_w_ref=ewr, edge_b_ref=ebr, edge_sel_ref=esr,
@@ -613,6 +650,18 @@ def _vjp_bwd(K, Cm, edge_k, edge_num, interpret, v_real, res, dy):
 
 
 fused_dyn_graph_agg.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_dyn_graph_agg_eval(x, w_pre, b_pre, x1, x2, A, alpha, beta, *,
+                             K, Cm, v_real=-1, interpret=False):
+    """Eval-only fused variant with the IN-KERNEL pre-conv: takes the block
+    input x (N, T, V, C) plus the BN-folded pre weights (C, K*Cm)/(K*Cm,)
+    and returns the aggregated (N, T, V, K*Cm) — the pre tensor never
+    round-trips HBM.  No VJP (training uses fused_dyn_graph_agg)."""
+    return _fwd_pallas(x, x1, x2, A, alpha, beta, None, None, None,
+                       K=K, Cm=Cm, edge_k=-1, edge_num=15,
+                       interpret=interpret, v_real=v_real,
+                       w_pre=w_pre, b_pre=b_pre)
 
 
 def reference_dyn_graph_agg(pre_x, x1, x2, A, alpha, beta, edge_w=None,

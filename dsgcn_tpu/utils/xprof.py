@@ -53,12 +53,23 @@ def op_table(logdir: str, plane_substr: str = "TPU",
     the fused-computation name; identical names are summed.  Lines whose
     (lowercased) name is in ``skip_lines`` are whole-step/module spans that
     would double-count the ops under them.
+
+    If no plane matches ``plane_substr`` (e.g. the remote-tunnel platform
+    names its device plane '/device:axon:0'), falls back to every
+    '/device:' plane except the host CPU one — an empty table from a
+    populated trace is always a plane-name mismatch, not an empty device.
     """
     totals: Dict[str, float] = collections.defaultdict(float)
     counts: Dict[str, int] = collections.defaultdict(int)
-    for xs in _load_xspaces(logdir):
+    spaces = list(_load_xspaces(logdir))
+    names = [p.name for xs in spaces for p in xs.planes]
+    if not any(plane_substr in n for n in names):
+        matches = lambda n: ("/device:" in n and "CPU" not in n)  # noqa: E731
+    else:
+        matches = lambda n: plane_substr in n                     # noqa: E731
+    for xs in spaces:
         for plane in xs.planes:
-            if plane_substr not in plane.name:
+            if not matches(plane.name):
                 continue
             meta = plane.event_metadata
             for line in plane.lines:

@@ -43,6 +43,29 @@ def test_dggcn_pallas_matches_dense(subset_wise):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_dggcn_fused_inkernel_preconv_matches_dense():
+    """eval_kernel='fusedpre' (opt-in; measured slower e2e on v5e — see
+    ops/gcn.py) computes the BN-folded pre-conv in-kernel — must match the
+    plain-XLA module to tolerance.  Also perturbs the pre_bn running stats
+    so the BN fold is non-trivial."""
+    g = Graph(layout="nturgb+d", mode="random", seed=2)
+    a = DGGCN(128, A_init=g.A.astype(np.float32), subset_wise=True)
+    b = DGGCN(128, A_init=g.A.astype(np.float32), subset_wise=True,
+              use_pallas=True, pallas_interpret=True, eval_kernel="fusedpre")
+    x = _x(c=64)
+    variables = a.init(jax.random.PRNGKey(0), x, train=False)
+    params = _perturb_gates(variables["params"])
+    stats = jax.tree.map(
+        lambda s: s + jnp.asarray(
+            RNG.uniform(0.01, 0.2, s.shape).astype(np.float32)),
+        variables["batch_stats"])
+    variables = {"params": params, "batch_stats": stats}
+    ya = a.apply(variables, x, train=False)
+    yb = b.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("kw", [
     dict(),
     dict(decompose=True, node_attention=True),
