@@ -13,6 +13,11 @@ Answers, with measurements:
 Plus an xprof op-bucket table of the full step (custom-call = Pallas
 fwd/bwd kernels, convolution/dot = the 1x1 convs + head, fusion =
 XLA-fused elementwise/BN chains, transpose/copy = layout moves).
+NOTE: on the remote-tunnel platform jax.profiler.trace currently returns
+device planes with ZERO events (verified with a bare matmul — a platform
+limitation, not a plane-name mismatch), so the bucket table can come back
+empty there; the fwd/bwd/update differencing above is the reliable
+decomposition on that platform.
 
 Usage: python benchmarks/train_floor.py [dgstgcn|dsgcn] [batches...]
 """
